@@ -1,0 +1,161 @@
+"""Batched device MPT walker vs the oracle across every proof shape."""
+
+import random
+
+import numpy as np
+import pytest
+
+from zk_state_proofs_tpu.oracle import EthTrie, keccak256, rlp
+from zk_state_proofs_tpu.ops import mpt
+from zk_state_proofs_tpu.witness import pack_proofs
+
+
+def _build_trie(n, seed=0, val_len=60):
+    rng = random.Random(seed)
+    t = EthTrie()
+    kvs = {}
+    for i in range(n):
+        k = keccak256(b"key-%d-%d" % (seed, i))
+        v = bytes(rng.randrange(1, 256) for _ in range(rng.randrange(1, val_len)))
+        kvs[k] = v
+        t.insert(k, v)
+    return t, kvs
+
+
+def _verify(entries, **kw):
+    packed = pack_proofs(entries, **kw)
+    status, values, vlens = mpt.verify_proofs(*packed.astuple())
+    return np.asarray(status), np.asarray(values), np.asarray(vlens)
+
+
+def test_inclusion_batch():
+    t, kvs = _build_trie(200, seed=1)
+    root = t.root_hash()
+    keys = list(kvs)[:64]
+    entries = [(root, t.get_proof(k), k) for k in keys]
+    status, values, vlens = _verify(entries)
+    for i, k in enumerate(keys):
+        assert status[i] == mpt.FOUND, (i, status[i])
+        assert bytes(values[i][: vlens[i]]) == kvs[k], i
+
+
+def test_exclusion_batch():
+    t, _ = _build_trie(100, seed=2)
+    root = t.root_hash()
+    absent = [keccak256(b"absent-%d" % i) for i in range(16)]
+    entries = [(root, t.get_proof(k), k) for k in absent]
+    status, _, vlens = _verify(entries)
+    assert (status == mpt.EXCLUDED).all()
+    assert (vlens == 0).all()
+
+
+def test_tampered_and_truncated_invalid():
+    t, kvs = _build_trie(100, seed=3)
+    root = t.root_hash()
+    k = list(kvs)[5]
+    proof = t.get_proof(k)
+    assert len(proof) >= 2
+    tampered = list(proof)
+    bad = bytearray(tampered[-1])
+    bad[-1] ^= 1
+    tampered[-1] = bytes(bad)
+    entries = [
+        (root, tampered, k),            # leaf bit-flip -> hash mismatch
+        (root, proof[:-1], k),           # truncated -> missing node
+        (b"\x00" * 32, proof, k),       # wrong root
+        (root, proof[1:], k),            # dropped root node
+    ]
+    status, _, _ = _verify(entries)
+    assert (status == mpt.INVALID).all(), status
+
+
+def test_wrong_key_is_invalid():
+    # a proof generated for key A is not an exclusion proof for key B:
+    # the walk hits a child hash whose node is missing -> INVALID
+    t, kvs = _build_trie(100, seed=4)
+    root = t.root_hash()
+    a, b = list(kvs)[0], keccak256(b"some-other-key")
+    status, _, _ = _verify([(root, t.get_proof(a), b)])
+    assert status[0] in (mpt.INVALID, mpt.EXCLUDED)
+
+
+def test_tx_style_trie_with_inline_nodes():
+    """rlp(index) keys + small values produce inline (<32 B) embedded
+    nodes — the walker must descend inside parent buffers
+    (reference semantics: eth_trie inline node handling)."""
+    t = EthTrie()
+    vals = {}
+    for i in range(40):
+        v = bytes([i + 1]) * (1 + (i * 13) % 45)
+        vals[i] = v
+        t.insert(rlp.encode_int(i), v)
+    root = t.root_hash()
+    entries = [(root, t.get_proof(rlp.encode_int(i)), rlp.encode_int(i)) for i in range(40)]
+    status, values, vlens = _verify(entries, key_nibbles=16)
+    for i in range(40):
+        assert status[i] == mpt.FOUND, (i, status[i])
+        assert bytes(values[i][: vlens[i]]) == vals[i], i
+
+
+def test_tiny_trie_fully_inline():
+    t = EthTrie()
+    for i in range(4):
+        t.insert(rlp.encode_int(i), bytes([0x40 + i]))
+    root = t.root_hash()
+    entries = [(root, t.get_proof(rlp.encode_int(i)), rlp.encode_int(i)) for i in range(4)]
+    status, values, vlens = _verify(entries, key_nibbles=16)
+    for i in range(4):
+        assert status[i] == mpt.FOUND, (i, status[i])
+        assert bytes(values[i][: vlens[i]]) == bytes([0x40 + i])
+
+
+def test_single_leaf_trie():
+    t = EthTrie()
+    k = keccak256(b"only")
+    t.insert(k, b"the-value")
+    root = t.root_hash()
+    status, values, vlens = _verify([(root, t.get_proof(k), k)])
+    assert status[0] == mpt.FOUND
+    assert bytes(values[0][: vlens[0]]) == b"the-value"
+
+
+def test_branch_value_lookup():
+    """Key that terminates exactly at a branch node (prefix of another)."""
+    t = EthTrie()
+    t.insert(b"\x12\x34", b"at-branch")
+    t.insert(b"\x12\x34\x56", b"deeper")
+    t.insert(b"\x12\x35\x56", b"sibling")
+    root = t.root_hash()
+    entries = [
+        (root, t.get_proof(b"\x12\x34"), b"\x12\x34"),
+        (root, t.get_proof(b"\x12\x34\x56"), b"\x12\x34\x56"),
+    ]
+    status, values, vlens = _verify(entries, key_nibbles=16)
+    assert status[0] == mpt.FOUND and bytes(values[0][: vlens[0]]) == b"at-branch"
+    assert status[1] == mpt.FOUND and bytes(values[1][: vlens[1]]) == b"deeper"
+
+
+def test_mixed_batch_statuses():
+    t, kvs = _build_trie(150, seed=6)
+    root = t.root_hash()
+    k_in = list(kvs)[7]
+    k_out = keccak256(b"nope")
+    proof_in = t.get_proof(k_in)
+    bad = [bytes(p) for p in proof_in[:-1]]
+    entries = [
+        (root, proof_in, k_in),
+        (root, t.get_proof(k_out), k_out),
+        (root, bad, k_in),
+    ]
+    status, values, vlens = _verify(entries)
+    assert list(status) == [mpt.FOUND, mpt.EXCLUDED, mpt.INVALID]
+    assert bytes(values[0][: vlens[0]]) == kvs[k_in]
+
+
+def test_empty_trie_root():
+    from zk_state_proofs_tpu.oracle import EMPTY_ROOT
+
+    status, _, _ = _verify([(EMPTY_ROOT, [], keccak256(b"x"))])
+    assert status[0] == mpt.EXCLUDED
+    status, _, _ = _verify([(b"\x11" * 32, [], keccak256(b"x"))])
+    assert status[0] == mpt.INVALID

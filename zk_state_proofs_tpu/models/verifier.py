@@ -1,0 +1,153 @@
+"""Top-level verification workloads — the framework's flagship "models".
+
+Mirrors the reference's circuit semantics with batched TPU execution:
+
+- `verify_merkle_batch`: the SP1/Risc0 merkle circuit
+  (reference: circuits/sp1-merkle-proof/src/main.rs:4-14) — verify a batch
+  of MerkleProofInput-style witnesses, return values + status mask.
+- `verify_storage_batch`: the two-level Risc0 storage circuit
+  (reference: circuits/risc0-storage-proof/.../storage-circuit/src/main.rs:6-31)
+  — level 1 verifies the account proof against state_root at key
+  keccak(address) (pre-hashed at witness time, reference storage.rs:58-64),
+  decodes the account's storage_root on device, then level 2 verifies each
+  storage proof at key keccak(slot) (hashed in-circuit, reference
+  storage-circuit/src/main.rs:26).
+- `verify_merkle_proof`: single-proof convenience with the reference's
+  exact raise semantics (crypto-ops/src/lib.rs:8-23).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..oracle.trie import MissingKeyError, TrieError
+from ..ops import mpt
+from ..ops.account import decode_account
+from ..ops.rlp import bytes_to_nibbles_device
+from ..witness.pack import PackedProofs, pack_proofs
+
+
+@dataclass
+class VerifyResult:
+    """Per-proof outcome of a batched verification (numpy)."""
+
+    status: np.ndarray      # i32 [B]: mpt.FOUND / EXCLUDED / INVALID
+    values: np.ndarray      # u8  [B, V]
+    value_lens: np.ndarray  # i32 [B]
+
+    def value(self, i: int) -> bytes:
+        return bytes(self.values[i][: self.value_lens[i]])
+
+    @property
+    def all_found(self) -> bool:
+        return bool((self.status == mpt.FOUND).all())
+
+    def counts(self) -> dict:
+        s = self.status
+        return {
+            "found": int((s == mpt.FOUND).sum()),
+            "excluded": int((s == mpt.EXCLUDED).sum()),
+            "invalid": int((s == mpt.INVALID).sum()),
+        }
+
+
+def verify_merkle_batch(packed: PackedProofs, max_value_len: int = 128) -> VerifyResult:
+    """Verify a batch of packed MPT proofs on device."""
+    status, values, vlens = mpt.verify_proofs(
+        *packed.astuple(), max_value_len=max_value_len
+    )
+    return VerifyResult(np.asarray(status), np.asarray(values), np.asarray(vlens))
+
+
+def verify_merkle_proof(root: bytes, proof: list, key: bytes) -> bytes:
+    """Single-proof API with the reference's semantics
+    (crypto-ops/src/lib.rs:8-23): returns the value; raises MissingKeyError
+    for a proven-absent key, TrieError for an invalid proof."""
+    packed = pack_proofs([(root, proof, key)])
+    res = verify_merkle_batch(packed, max_value_len=max(packed.nodes.shape[2], 128))
+    if res.status[0] == mpt.FOUND:
+        return res.value(0)
+    if res.status[0] == mpt.EXCLUDED:
+        raise MissingKeyError("Key does not exist!")
+    raise TrieError("invalid merkle proof")
+
+
+@jax.jit
+def _storage_core(a_nodes, a_lens, a_num, a_roots, a_knib, a_klen,
+                  s_nodes, s_lens, s_num, slots):
+    """Fused two-level verification under one jit."""
+    a_status, a_values, a_vlens = mpt.verify_proofs(
+        a_nodes, a_lens, a_num, a_roots, a_knib, a_klen, max_value_len=128
+    )
+    acct = decode_account(a_values, a_vlens)
+    # level 2: key = keccak(slot), hashed on device like the reference circuit
+    if jax.default_backend() == "tpu":
+        from ..ops.keccak_pallas import keccak256_tpu as _keccak
+
+        slot_hashes = _keccak(slots)
+    else:
+        from ..ops.keccak import keccak256 as _keccak
+
+        slot_hashes = _keccak(slots)
+    s_knib = jax.vmap(bytes_to_nibbles_device)(slot_hashes)
+    s_klen = jnp.full((slots.shape[0],), 64, jnp.int32)
+    s_status, s_values, s_vlens = mpt.verify_proofs(
+        s_nodes, s_lens, s_num, acct["storage_root"], s_knib, s_klen,
+        max_value_len=64,
+    )
+    # an invalid/absent account or undecodable leaf invalidates its slots
+    account_ok = (a_status == mpt.FOUND) & acct["ok"]
+    s_status = jnp.where(account_ok, s_status, mpt.INVALID)
+    return a_status, acct, s_status, s_values, s_vlens
+
+
+@dataclass
+class StorageVerifyResult:
+    account_status: np.ndarray   # i32 [B]
+    storage_root: np.ndarray     # u8  [B, 32]
+    nonce: np.ndarray            # u8  [B, 8] big-endian
+    balance: np.ndarray          # u8  [B, 32] big-endian
+    code_hash: np.ndarray        # u8  [B, 32]
+    slot_status: np.ndarray      # i32 [B]
+    slot_values: np.ndarray      # u8  [B, V]
+    slot_value_lens: np.ndarray  # i32 [B]
+
+    def slot_value(self, i: int) -> bytes:
+        return bytes(self.slot_values[i][: self.slot_value_lens[i]])
+
+
+def verify_storage_batch(
+    account_packed: PackedProofs,
+    storage_packed: PackedProofs,
+    slots: np.ndarray,
+) -> StorageVerifyResult:
+    """Two-level account->storage verification.
+
+    account_packed: B account proofs (key = keccak(address), pre-hashed)
+    storage_packed: B storage proofs (key_nibbles field ignored — keys are
+                    derived on device from `slots`)
+    slots: u8 [B, 32] RAW storage slot keys (hashed in-kernel).
+    """
+    a = account_packed
+    s = storage_packed
+    slots = np.asarray(slots, dtype=np.uint8)
+    if slots.shape != (s.batch, 32):
+        raise ValueError(f"slots must be [B, 32], got {slots.shape}")
+    a_status, acct, s_status, s_values, s_vlens = _storage_core(
+        a.nodes, a.node_lens, a.num_nodes, a.roots, a.key_nibbles, a.key_lens,
+        s.nodes, s.node_lens, s.num_nodes, jnp.asarray(slots),
+    )
+    return StorageVerifyResult(
+        account_status=np.asarray(a_status),
+        storage_root=np.asarray(acct["storage_root"]),
+        nonce=np.asarray(acct["nonce"]),
+        balance=np.asarray(acct["balance"]),
+        code_hash=np.asarray(acct["code_hash"]),
+        slot_status=np.asarray(s_status),
+        slot_values=np.asarray(s_values),
+        slot_value_lens=np.asarray(s_vlens),
+    )

@@ -1,0 +1,92 @@
+"""Host-side witness packing: proofs -> padded device tensor bundles.
+
+The TPU equivalent of the reference's `MerkleProofInput` wire struct
+(reference: crypto-ops/src/types.rs:5-9 — `proof: Vec<Vec<u8>>, root_hash,
+key`): variable-length proof-node lists become zero-padded fixed-shape
+arrays bucketed by (max_nodes, node_len), plus explicit lengths, ready for
+`ops.mpt.verify_proofs`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..oracle.trie import bytes_to_nibbles
+
+DEFAULT_KEY_NIBBLES = 64  # 32-byte keys (account/storage tries)
+
+
+@dataclass
+class PackedProofs:
+    """A batch of padded MPT proofs (numpy, ready for device put)."""
+
+    nodes: np.ndarray       # u8  [B, D, N]
+    node_lens: np.ndarray   # i32 [B, D]
+    num_nodes: np.ndarray   # i32 [B]
+    roots: np.ndarray       # u8  [B, 32]
+    key_nibbles: np.ndarray  # u8 [B, K]
+    key_lens: np.ndarray    # i32 [B]
+
+    @property
+    def batch(self) -> int:
+        return self.nodes.shape[0]
+
+    def astuple(self):
+        return (
+            self.nodes,
+            self.node_lens,
+            self.num_nodes,
+            self.roots,
+            self.key_nibbles,
+            self.key_lens,
+        )
+
+
+def pack_proofs(
+    entries,
+    max_nodes: int | None = None,
+    node_len: int | None = None,
+    key_nibbles: int = DEFAULT_KEY_NIBBLES,
+) -> PackedProofs:
+    """Pack `entries` = iterable of (root: bytes32, proof: list[bytes],
+    key: bytes) into a PackedProofs bundle.
+
+    `max_nodes` / `node_len` default to the batch maxima; pass explicit
+    bucket sizes for stable jit shapes across batches.
+    """
+    entries = list(entries)
+    b = len(entries)
+    if b == 0:
+        raise ValueError("empty proof batch")
+    need_nodes = max((len(p) for _, p, _ in entries), default=1)
+    need_len = max((len(n) for _, p, _ in entries for n in p), default=1)
+    d = max_nodes if max_nodes is not None else max(need_nodes, 1)
+    n = node_len if node_len is not None else max(need_len, 4)
+    if need_nodes > d:
+        raise ValueError(f"proof with {need_nodes} nodes exceeds bucket max_nodes={d}")
+    if need_len > n:
+        raise ValueError(f"node of {need_len} bytes exceeds bucket node_len={n}")
+
+    nodes = np.zeros((b, d, n), dtype=np.uint8)
+    node_lens = np.zeros((b, d), dtype=np.int32)
+    num_nodes = np.zeros(b, dtype=np.int32)
+    roots = np.zeros((b, 32), dtype=np.uint8)
+    knib = np.zeros((b, key_nibbles), dtype=np.uint8)
+    key_lens = np.zeros(b, dtype=np.int32)
+
+    for i, (root, proof, key) in enumerate(entries):
+        if len(root) != 32:
+            raise ValueError("root must be 32 bytes")
+        roots[i] = np.frombuffer(root, dtype=np.uint8)
+        num_nodes[i] = len(proof)
+        for j, node in enumerate(proof):
+            nodes[i, j, : len(node)] = np.frombuffer(node, dtype=np.uint8)
+            node_lens[i, j] = len(node)
+        nibs = bytes_to_nibbles(key)
+        if len(nibs) > key_nibbles:
+            raise ValueError(f"key has {len(nibs)} nibbles > bucket {key_nibbles}")
+        knib[i, : len(nibs)] = nibs
+        key_lens[i] = len(nibs)
+    return PackedProofs(nodes, node_lens, num_nodes, roots, knib, key_lens)

@@ -1,0 +1,141 @@
+"""Witness layer: golden receipt vector, tx/receipt trie round trips,
+borsh wire compat, RPC clients against a fake transport."""
+
+import numpy as np
+import pytest
+
+from zk_state_proofs_tpu.oracle import keccak256, rlp, verify_merkle_proof
+from zk_state_proofs_tpu.ops import mpt
+from zk_state_proofs_tpu.witness import (
+    MerkleProofInput,
+    StorageProofInput,
+    WitnessError,
+    encode_receipt,
+    get_receipt_proof_input,
+    get_transaction_proof_input,
+    pack_proofs,
+    synthetic_block,
+)
+from zk_state_proofs_tpu.witness.rpc import EthereumClient, JsonRpcClient, RpcError
+
+
+# The reference's ONLY golden-vector test (trie-utils/tests/rlp.rs:10-42):
+# receipt = [status=false, cumulative_gas=0x1, bloom=zeros, one log
+# (address 0x..11, topics dead/beef, data 0x0100ff)], legacy envelope.
+GOLDEN_RECEIPT_HEX = (
+    "f901668001b90100" + "00" * 256 +
+    "f85ff85d940000000000000000000000000000000000000011f842a0"
+    "000000000000000000000000000000000000000000000000000000000000dead"
+    "a0000000000000000000000000000000000000000000000000000000000000beef"
+    "830100ff"
+)
+
+
+def test_golden_receipt_vector():
+    receipt = {
+        "type": "0x0",
+        "status": "0x0",
+        "cumulativeGasUsed": "0x1",
+        "logsBloom": "0x" + "00" * 256,
+        "logs": [
+            {
+                "address": "0x0000000000000000000000000000000000000011",
+                "topics": [
+                    "0x000000000000000000000000000000000000000000000000000000000000dead",
+                    "0x000000000000000000000000000000000000000000000000000000000000beef",
+                ],
+                "data": "0x0100ff",
+            }
+        ],
+    }
+    assert encode_receipt(receipt).hex() == GOLDEN_RECEIPT_HEX
+
+
+def test_transaction_proof_round_trip():
+    fx = synthetic_block(num_txs=24, seed=3)
+    block = fx["block"]
+    for index in (0, 7, 15, 23):
+        inp = get_transaction_proof_input(block, index)
+        value = verify_merkle_proof(inp.root_hash, inp.proof, inp.key)
+        from zk_state_proofs_tpu.witness import encode_transaction
+
+        assert value == encode_transaction(block["transactions"][index])
+
+
+def test_transaction_proof_device_batch():
+    fx = synthetic_block(num_txs=16, seed=4)
+    block = fx["block"]
+    entries = []
+    expected = []
+    from zk_state_proofs_tpu.witness import encode_transaction
+
+    for i in range(16):
+        inp = get_transaction_proof_input(block, i)
+        entries.append(inp.as_entry())
+        expected.append(encode_transaction(block["transactions"][i]))
+    max_len = max(max(len(n) for n in p) for _, p, _ in entries)
+    packed = pack_proofs(entries, key_nibbles=16, node_len=max_len)
+    status, values, vlens = mpt.verify_proofs(
+        *packed.astuple(), max_value_len=max(len(v) for v in expected)
+    )
+    status = np.asarray(status)
+    for i in range(16):
+        assert status[i] == mpt.FOUND, (i, status[i])
+        assert bytes(np.asarray(values)[i][: np.asarray(vlens)[i]]) == expected[i]
+
+
+def test_receipt_proof_round_trip():
+    fx = synthetic_block(num_txs=20, seed=5)
+    block, receipts = fx["block"], fx["receipts"]
+    inp = get_receipt_proof_input(block, receipts, 11)
+    value = verify_merkle_proof(inp.root_hash, inp.proof, inp.key)
+    assert value == encode_receipt(receipts[11])
+
+
+def test_tampered_header_root_rejected():
+    fx = synthetic_block(num_txs=8, seed=6)
+    block = dict(fx["block"])
+    block["transactionsRoot"] = "0x" + "11" * 32
+    with pytest.raises(WitnessError):
+        get_transaction_proof_input(block, 0)
+
+
+def test_borsh_round_trip():
+    m = MerkleProofInput(proof=[b"\x01\x02", b"", b"abc"], root_hash=b"\xaa" * 32, key=b"\x80")
+    assert MerkleProofInput.from_borsh(m.to_borsh()) == m
+    s = StorageProofInput(
+        account_proof=[b"node1", b"node2"],
+        storage_proofs=[[b"a"], [b"b", b"c"]],
+        root_hash=b"\xbb" * 32,
+        account_key=keccak256(b"addr"),
+        storage_keys=[b"\x00" * 32, b"\x01" * 32],
+        address_keccak=keccak256(b"addr"),
+    )
+    assert StorageProofInput.from_borsh(s.to_borsh()) == s
+    # borsh layout spot-check: leading u32 count little-endian
+    assert m.to_borsh()[:4] == (3).to_bytes(4, "little")
+
+
+def test_rpc_client_fake_transport():
+    calls = []
+
+    def transport(url, payload):
+        calls.append((url, payload))
+        if payload["method"] == "eth_getBlockByHash":
+            return {"jsonrpc": "2.0", "id": payload["id"], "result": {"number": "0x1"}}
+        return {"jsonrpc": "2.0", "id": payload["id"], "error": {"code": -32000, "message": "nope"}}
+
+    c = JsonRpcClient("http://example.invalid", transport=transport)
+    assert c.get_block_by_hash("0xabc") == {"number": "0x1"}
+    with pytest.raises(RpcError):
+        c.get_proof("0x" + "00" * 20, [])
+    assert calls[0][1]["params"] == ["0xabc", True]
+
+
+def test_ethereum_client_requires_key(monkeypatch):
+    monkeypatch.delenv("INFURA", raising=False)
+    with pytest.raises(RuntimeError):
+        EthereumClient()
+    monkeypatch.setenv("INFURA", "test-key")
+    c = EthereumClient(transport=lambda u, p: {"result": 1})
+    assert c.url.endswith("test-key")

@@ -1,6 +1,13 @@
 """Flagship verification workloads (the four trie flavors + storage
 composition)."""
 
+from .blocks import (
+    Erc20Transfer,
+    decode_receipt_value,
+    extract_erc20_transfers,
+    verify_block_receipts,
+    verify_block_transactions,
+)
 from .verifier import (
     StorageVerifyResult,
     VerifyResult,
@@ -10,6 +17,11 @@ from .verifier import (
 )
 
 __all__ = [
+    "Erc20Transfer",
+    "decode_receipt_value",
+    "extract_erc20_transfers",
+    "verify_block_receipts",
+    "verify_block_transactions",
     "StorageVerifyResult",
     "VerifyResult",
     "verify_merkle_batch",

@@ -1,0 +1,122 @@
+"""Block-level verification flows: transaction and receipt tries.
+
+The TPU counterpart of the reference's tx/receipt test flows
+(reference: trie-utils/tests/transaction.rs:12-40, tests/receipt.rs:9-23):
+rebuild the block trie from witness data, extract proofs, verify the batch
+on device against the header root, and (for receipts) decode verified
+receipts and extract ERC20 Transfer logs (BASELINE config #3).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..oracle import rlp
+from ..ops import mpt
+from ..utils.config import BucketConfig
+from ..witness.builders import (
+    get_receipt_proof_input,
+    get_transaction_proof_input,
+)
+from ..witness.fixtures import ERC20_TRANSFER_TOPIC
+from ..witness.pack import pack_proofs
+from .verifier import VerifyResult, verify_merkle_batch
+
+
+def _bucket_for(entries, key_nibbles: int) -> BucketConfig:
+    node_len = max(len(n) for _, p, _ in entries for n in p)
+    depth = max(len(p) for _, p, _ in entries)
+    vmax = node_len  # leaf value is bounded by its node
+    return BucketConfig(
+        max_nodes=depth, node_len=node_len, key_nibbles=key_nibbles,
+        max_value_len=vmax,
+    )
+
+
+def verify_block_transactions(block: dict, indices=None) -> VerifyResult:
+    """Verify transactions of a block against its transactionsRoot on
+    device. Returns the batch result; values are the canonical EIP-2718
+    encoded transactions."""
+    txs = block["transactions"]
+    if indices is None:
+        indices = range(len(txs))
+    entries = [get_transaction_proof_input(block, i).as_entry() for i in indices]
+    bucket = _bucket_for(entries, key_nibbles=8)
+    packed = pack_proofs(
+        entries, max_nodes=bucket.max_nodes, node_len=bucket.node_len,
+        key_nibbles=bucket.key_nibbles,
+    )
+    return verify_merkle_batch(packed, max_value_len=bucket.max_value_len)
+
+
+@dataclass
+class Erc20Transfer:
+    token: bytes     # contract address (20 bytes)
+    sender: bytes    # 20 bytes
+    receiver: bytes  # 20 bytes
+    amount: int
+    tx_index: int
+
+
+def decode_receipt_value(value: bytes) -> dict:
+    """Decode a verified receipt leaf (optional type byte ++ RLP
+    [status, cumulative_gas, bloom, logs])."""
+    type_byte = 0
+    if value and value[0] < 0xC0:  # typed envelope prefix
+        type_byte = value[0]
+        value = value[1:]
+    status, gas, bloom, logs = rlp.decode(value)
+    return {
+        "type": type_byte,
+        "status": rlp.decode_int(status),
+        "cumulative_gas_used": rlp.decode_int(gas),
+        "bloom": bloom,
+        "logs": [
+            {"address": l[0], "topics": l[1], "data": l[2]} for l in logs
+        ],
+    }
+
+
+def extract_erc20_transfers(values, value_lens, status, indices=None) -> list:
+    """Pull ERC20 Transfer events out of verified receipt values."""
+    topic = bytes.fromhex(ERC20_TRANSFER_TOPIC[2:])
+    out = []
+    values = np.asarray(values)
+    value_lens = np.asarray(value_lens)
+    status = np.asarray(status)
+    idx_list = list(indices) if indices is not None else list(range(len(value_lens)))
+    for row, tx_index in enumerate(idx_list):
+        if status[row] != mpt.FOUND:
+            continue
+        receipt = decode_receipt_value(bytes(values[row][: value_lens[row]]))
+        for log in receipt["logs"]:
+            if log["topics"] and log["topics"][0] == topic and len(log["topics"]) == 3:
+                out.append(
+                    Erc20Transfer(
+                        token=log["address"],
+                        sender=log["topics"][1][-20:],
+                        receiver=log["topics"][2][-20:],
+                        amount=int.from_bytes(log["data"][:32], "big"),
+                        tx_index=tx_index,
+                    )
+                )
+    return out
+
+
+def verify_block_receipts(block: dict, receipts: list, indices=None):
+    """Verify a block's receipts on device against receiptsRoot; returns
+    (VerifyResult, [Erc20Transfer])."""
+    if indices is None:
+        indices = range(len(receipts))
+    indices = list(indices)
+    entries = [get_receipt_proof_input(block, receipts, i).as_entry() for i in indices]
+    bucket = _bucket_for(entries, key_nibbles=8)
+    packed = pack_proofs(
+        entries, max_nodes=bucket.max_nodes, node_len=bucket.node_len,
+        key_nibbles=bucket.key_nibbles,
+    )
+    res = verify_merkle_batch(packed, max_value_len=bucket.max_value_len)
+    transfers = extract_erc20_transfers(res.values, res.value_lens, res.status, indices)
+    return res, transfers

@@ -101,11 +101,15 @@ class EthTrie:
     def __init__(self) -> None:
         self._root: Optional[_Node] = None
         self.db: dict[bytes, bytes] = {}
+        # per-node encoding memo, invalidated on every insert (nodes are
+        # only mutated by inserts) — makes repeated get_proof calls O(path)
+        self._enc_cache: dict[int, bytes] = {}
 
     # -- mutation ----------------------------------------------------------
     def insert(self, key: bytes, value: bytes) -> None:
         if not value:
             raise ValueError("empty values are deletions; not supported")
+        self._enc_cache.clear()
         self._root = self._insert(self._root, bytes_to_nibbles(key), value)
 
     def _insert(self, node: Optional[_Node], nibs: list[int], value: bytes) -> _Node:
@@ -179,16 +183,22 @@ class EthTrie:
 
     # -- hashing -----------------------------------------------------------
     def _encode_node(self, node: _Node) -> bytes:
+        cached = self._enc_cache.get(id(node))
+        if cached is not None:
+            return cached
         if node.kind == _LEAF:
-            return rlp.encode([hp_encode(node.path, True), node.value])
-        if node.kind == _EXT:
-            return rlp.encode([hp_encode(node.path, False), self._ref(node.child)])
-        items = [
-            self._ref(child) if child is not None else b""
-            for child in node.children
-        ]
-        items.append(node.value if node.value is not None else b"")
-        return rlp.encode(items)
+            enc = rlp.encode([hp_encode(node.path, True), node.value])
+        elif node.kind == _EXT:
+            enc = rlp.encode([hp_encode(node.path, False), self._ref(node.child)])
+        else:
+            items = [
+                self._ref(child) if child is not None else b""
+                for child in node.children
+            ]
+            items.append(node.value if node.value is not None else b"")
+            enc = rlp.encode(items)
+        self._enc_cache[id(node)] = enc
+        return enc
 
     def _ref(self, node: _Node):
         """Child reference: hash for nodes >= 32 bytes, inline structure else."""

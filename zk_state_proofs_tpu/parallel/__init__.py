@@ -1,0 +1,18 @@
+"""L5 mesh/sharding layer: data-parallel proof verification over a device
+mesh with psum-reduced stats."""
+
+from .mesh import (
+    BATCH_AXIS,
+    make_mesh,
+    make_sharded_verifier,
+    pad_batch,
+    verify_proofs_sharded,
+)
+
+__all__ = [
+    "BATCH_AXIS",
+    "make_mesh",
+    "make_sharded_verifier",
+    "pad_batch",
+    "verify_proofs_sharded",
+]

@@ -1,0 +1,102 @@
+"""L5 — multi-chip / multi-host sharded verification.
+
+The reference has no parallelism at all (SURVEY.md §2.3: serial loop, one
+proof at a time inside a zkVM). Here the proof batch is the parallel axis:
+a `jax.sharding.Mesh` over the chips, batch dims sharded with
+`shard_map`, per-shard verification via the batched device verifier, and
+global stats (found/excluded/invalid counts) reduced with `psum` over ICI.
+
+On a multi-host pod slice the same code runs under
+`jax.distributed.initialize` — batch sharded per host over DCN, collectives
+ride ICI within each slice.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..ops import mpt
+
+BATCH_AXIS = "dp"
+
+
+def make_mesh(n_devices: int | None = None, axis: str = BATCH_AXIS) -> Mesh:
+    """1-D device mesh over the proof-batch axis."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def pad_batch(arrays, multiple: int):
+    """Pad the leading batch dim of every array to a multiple (proofs with
+    num_nodes == 0 and a non-empty root verify to INVALID and are sliced
+    off by the caller)."""
+    b = arrays[0].shape[0]
+    bp = -(-b // multiple) * multiple
+    if bp == b:
+        return arrays, b
+    out = []
+    for a in arrays:
+        pad = [(0, bp - b)] + [(0, 0)] * (a.ndim - 1)
+        out.append(np.pad(np.asarray(a), pad))
+    return tuple(out), b
+
+
+def make_sharded_verifier(mesh: Mesh, max_value_len: int = 128):
+    """Build a pjit-ted sharded batch verifier over `mesh`.
+
+    Returns fn(nodes, node_lens, num_nodes, roots, key_nibbles, key_lens) ->
+    (status [B], values [B, V], value_lens [B], global_counts [3]) with the
+    batch axis sharded over the mesh and counts psum-reduced across shards.
+    """
+    axis = mesh.axis_names[0]
+    spec_b = P(axis)
+
+    def _shard_fn(nodes, node_lens, num_nodes, roots, key_nibbles, key_lens, active):
+        status, values, vlens = mpt.verify_proofs(
+            nodes, node_lens, num_nodes, roots, key_nibbles, key_lens,
+            max_value_len=max_value_len,
+        )
+        live = active > 0  # padding rows don't pollute the global stats
+        local_counts = jnp.stack(
+            [
+                (live & (status == mpt.FOUND)).sum(),
+                (live & (status == mpt.EXCLUDED)).sum(),
+                (live & (status == mpt.INVALID)).sum(),
+            ]
+        )
+        counts = jax.lax.psum(local_counts, axis)
+        return status, values, vlens, counts
+
+    sharded = shard_map(
+        _shard_fn,
+        mesh=mesh,
+        in_specs=(spec_b,) * 7,
+        out_specs=(spec_b, spec_b, spec_b, P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def verify_proofs_sharded(mesh: Mesh, packed, max_value_len: int = 128):
+    """Convenience wrapper: pad the batch to the mesh size, shard, verify,
+    slice back. `packed` is a witness.PackedProofs."""
+    n = mesh.devices.size
+    b = packed.batch
+    active = np.ones(b, dtype=np.int32)
+    arrays, b = pad_batch(packed.astuple() + (active,), n)
+    fn = make_sharded_verifier(mesh, max_value_len=max_value_len)
+    status, values, vlens, counts = fn(*arrays)
+    return (
+        np.asarray(status)[:b],
+        np.asarray(values)[:b],
+        np.asarray(vlens)[:b],
+        np.asarray(counts),
+    )

@@ -23,7 +23,7 @@ import numpy as np
 
 # persistent XLA executable cache: first bench run pays remote compile
 # (minutes through the axon tunnel), reruns start hot
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/zkp_tpu_jax_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 

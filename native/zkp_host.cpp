@@ -1,0 +1,148 @@
+// Native host runtime for zk_state_proofs_tpu: fast Keccak-256 and batched
+// witness packing. The TPU does the verification math; this library covers
+// the host-side hot loops around it (the role the reference fills with
+// native Rust throughout — tiny-keccak and eth_trie node handling,
+// reference: crypto-ops/src/keccak.rs, trie-utils/src/proofs/*):
+//   - zkp_keccak256 / zkp_keccak256_batch: legacy-padding Keccak-256
+//   - zkp_pack_proofs: proof lists -> zero-padded device tensor bundles
+//     (the data-loader path feeding ops/mpt.verify_proofs)
+// C ABI, consumed via ctypes (no pybind11 in this image).
+
+#include <cstdint>
+#include <cstring>
+#include <cstddef>
+
+namespace {
+
+constexpr int kRounds = 24;
+constexpr size_t kRate = 136;
+
+constexpr uint64_t kRC[kRounds] = {
+    0x0000000000000001ULL, 0x0000000000008082ULL, 0x800000000000808aULL,
+    0x8000000080008000ULL, 0x000000000000808bULL, 0x0000000080000001ULL,
+    0x8000000080008081ULL, 0x8000000000008009ULL, 0x000000000000008aULL,
+    0x0000000000000088ULL, 0x0000000080008009ULL, 0x000000008000000aULL,
+    0x000000008000808bULL, 0x800000000000008bULL, 0x8000000000008089ULL,
+    0x8000000000008003ULL, 0x8000000000008002ULL, 0x8000000000000080ULL,
+    0x000000000000800aULL, 0x800000008000000aULL, 0x8000000080008081ULL,
+    0x8000000000008080ULL, 0x0000000080000001ULL, 0x8000000080008008ULL};
+
+constexpr int kRho[25] = {0, 1, 62, 28, 27, 36, 44, 6,  55, 20, 3,  10, 43,
+                          25, 39, 41, 45, 15, 21, 8,  18, 2,  61, 56, 14};
+
+inline uint64_t rotl64(uint64_t x, int n) {
+  return n == 0 ? x : (x << n) | (x >> (64 - n));
+}
+
+void keccak_f1600(uint64_t a[25]) {
+  for (int r = 0; r < kRounds; ++r) {
+    uint64_t c[5], d[5];
+    for (int x = 0; x < 5; ++x)
+      c[x] = a[x] ^ a[x + 5] ^ a[x + 10] ^ a[x + 15] ^ a[x + 20];
+    for (int x = 0; x < 5; ++x)
+      d[x] = c[(x + 4) % 5] ^ rotl64(c[(x + 1) % 5], 1);
+    for (int x = 0; x < 5; ++x)
+      for (int y = 0; y < 5; ++y) a[x + 5 * y] ^= d[x];
+    uint64_t b[25];
+    for (int x = 0; x < 5; ++x)
+      for (int y = 0; y < 5; ++y)
+        b[y + 5 * ((2 * x + 3 * y) % 5)] = rotl64(a[x + 5 * y], kRho[x + 5 * y]);
+    for (int y = 0; y < 5; ++y)
+      for (int x = 0; x < 5; ++x)
+        a[x + 5 * y] = b[x + 5 * y] ^ (~b[(x + 1) % 5 + 5 * y] & b[(x + 2) % 5 + 5 * y]);
+    a[0] ^= kRC[r];
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Legacy (pad 0x01) Keccak-256 of a single message.
+void zkp_keccak256(const uint8_t* data, size_t len, uint8_t out[32]) {
+  uint64_t state[25] = {0};
+  uint8_t block[kRate];
+  size_t off = 0;
+  while (len - off >= kRate) {
+    for (size_t i = 0; i < kRate / 8; ++i) {
+      uint64_t lane;
+      std::memcpy(&lane, data + off + 8 * i, 8);  // little-endian host
+      state[i] ^= lane;
+    }
+    keccak_f1600(state);
+    off += kRate;
+  }
+  size_t rem = len - off;
+  std::memset(block, 0, kRate);
+  if (rem) std::memcpy(block, data + off, rem);
+  block[rem] ^= 0x01;
+  block[kRate - 1] ^= 0x80;
+  for (size_t i = 0; i < kRate / 8; ++i) {
+    uint64_t lane;
+    std::memcpy(&lane, block + 8 * i, 8);
+    state[i] ^= lane;
+  }
+  keccak_f1600(state);
+  std::memcpy(out, state, 32);
+}
+
+// Batch digest: messages concatenated in `data`, bounds in `offsets`
+// (n+1 entries); writes n*32 bytes to `out`.
+void zkp_keccak256_batch(const uint8_t* data, const int64_t* offsets, int n,
+                         uint8_t* out) {
+  for (int i = 0; i < n; ++i) {
+    zkp_keccak256(data + offsets[i],
+                  static_cast<size_t>(offsets[i + 1] - offsets[i]),
+                  out + 32 * i);
+  }
+}
+
+// Pack B proofs into padded tensors. Layout of inputs:
+//   node_blob / node_offsets[total_nodes+1]: all proof nodes, concatenated
+//   proof_counts[b]: nodes per proof
+//   roots: b*32 bytes
+//   key_blob / key_offsets[b+1]: lookup keys
+// Outputs (preallocated by caller, zero-filled here):
+//   nodes   u8 [b, max_nodes, node_len]
+//   node_lens i32 [b, max_nodes]; num_nodes i32 [b]
+//   out_roots u8 [b, 32]
+//   key_nibbles u8 [b, key_nib]; key_lens i32 [b]
+// Returns 0, or the 1-based index of the first proof violating the bucket.
+int zkp_pack_proofs(const uint8_t* node_blob, const int64_t* node_offsets,
+                    const int32_t* proof_counts, const uint8_t* roots,
+                    const uint8_t* key_blob, const int64_t* key_offsets,
+                    int b, int max_nodes, int node_len, int key_nib,
+                    uint8_t* nodes, int32_t* node_lens, int32_t* num_nodes,
+                    uint8_t* out_roots, uint8_t* key_nibbles,
+                    int32_t* key_lens) {
+  std::memset(nodes, 0, static_cast<size_t>(b) * max_nodes * node_len);
+  std::memset(node_lens, 0, static_cast<size_t>(b) * max_nodes * 4);
+  std::memset(key_nibbles, 0, static_cast<size_t>(b) * key_nib);
+  int64_t node_idx = 0;
+  for (int i = 0; i < b; ++i) {
+    int cnt = proof_counts[i];
+    if (cnt > max_nodes) return i + 1;
+    num_nodes[i] = cnt;
+    for (int j = 0; j < cnt; ++j, ++node_idx) {
+      int64_t start = node_offsets[node_idx];
+      int64_t len = node_offsets[node_idx + 1] - start;
+      if (len > node_len) return i + 1;
+      std::memcpy(nodes + (static_cast<size_t>(i) * max_nodes + j) * node_len,
+                  node_blob + start, static_cast<size_t>(len));
+      node_lens[i * max_nodes + j] = static_cast<int32_t>(len);
+    }
+    std::memcpy(out_roots + 32 * i, roots + 32 * i, 32);
+    int64_t kstart = key_offsets[i];
+    int64_t klen = key_offsets[i + 1] - kstart;
+    if (2 * klen > key_nib) return i + 1;
+    for (int64_t k = 0; k < klen; ++k) {
+      uint8_t byte = key_blob[kstart + k];
+      key_nibbles[static_cast<size_t>(i) * key_nib + 2 * k] = byte >> 4;
+      key_nibbles[static_cast<size_t>(i) * key_nib + 2 * k + 1] = byte & 0x0f;
+    }
+    key_lens[i] = static_cast<int32_t>(2 * klen);
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -69,6 +69,14 @@ def pack_proofs(
     if need_len > n:
         raise ValueError(f"node of {need_len} bytes exceeds bucket node_len={n}")
 
+    # native packer (C++) when available — same layout, one ctypes call
+    from .. import native as _native
+
+    if _native.available():
+        packed = _native.pack_proofs_native(entries, d, n, key_nibbles)
+        if packed is not None:
+            return PackedProofs(*packed)
+
     nodes = np.zeros((b, d, n), dtype=np.uint8)
     node_lens = np.zeros((b, d), dtype=np.int32)
     num_nodes = np.zeros(b, dtype=np.int32)

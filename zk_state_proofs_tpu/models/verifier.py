@@ -76,6 +76,37 @@ def verify_merkle_proof(root: bytes, proof: list, key: bytes) -> bytes:
     raise TrieError("invalid merkle proof")
 
 
+def verify_account_batch(packed: PackedProofs):
+    """Account-flavor convenience: verify + device-decode the account leaf.
+    Returns (VerifyResult, dict of decoded numpy account fields) — the
+    batched analog of the reference's account tests (trie-utils/
+    tests/account.rs:33-129: verify then decode_exact::<Account>)."""
+    status, values, vlens = mpt.verify_proofs(
+        *packed.astuple(), max_value_len=128
+    )
+    acct = decode_account(values, vlens)
+    res = VerifyResult(np.asarray(status), np.asarray(values), np.asarray(vlens))
+    return res, {k: np.asarray(v) for k, v in acct.items()}
+
+
+def batch_commitment(result: VerifyResult) -> bytes:
+    """Attestation digest over the verified public outputs — the role of the
+    zkVM's committed public values (reference: sp1 guest commit_slice,
+    circuits/sp1-merkle-proof/src/main.rs:13). keccak over the
+    (status || len || value) stream, so two runs agree iff every per-proof
+    outcome and extracted value agree bit-exactly."""
+    from ..oracle import keccak256 as _keccak  # oracle for trust; small input
+
+    stream = bytearray()
+    for i in range(len(result.status)):
+        stream += bytes([int(result.status[i])])
+        v = result.value(i)
+        stream += len(v).to_bytes(4, "little") + v
+    from .. import native
+
+    return native.keccak256(bytes(stream)) if native.available() else _keccak(bytes(stream))
+
+
 @jax.jit
 def _storage_core(a_nodes, a_lens, a_num, a_roots, a_knib, a_klen,
                   s_nodes, s_lens, s_num, slots):

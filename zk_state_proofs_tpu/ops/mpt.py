@@ -37,7 +37,9 @@ import jax
 import jax.numpy as jnp
 
 from ..oracle.trie import EMPTY_ROOT
-from .rlp import bytes_to_nibbles_device, item_head, node_items, read_bytes32
+from .rlp import (bytes_to_nibbles_device, decode_node_select, item_head,
+                  node_items, read_bytes32)
+from .select import fetch_window_1d
 
 # status codes (per proof)
 RUNNING = 0
@@ -53,7 +55,12 @@ def _walk_step(nodes, node_lens, num_nodes, digests, key_nibbles, key_len, carry
     node_idx, off, key_pos, status, vnode, vstart, vlen = carry
     buf = nodes[node_idx]
     buf_len = node_lens[node_idx]
-    items = node_items(buf, off, buf_len)
+    maxnib = key_nibbles.shape[0]
+    # single gather-free fetch of the remaining key window; element 0 is the
+    # branch child nibble (garbage once the key is exhausted — masked below)
+    key_win = fetch_window_1d(key_nibbles, key_pos, maxnib).astype(jnp.int32)
+    c = key_win[0]
+    items = decode_node_select(buf, off, buf_len, c)
 
     is_branch = items["count"] == 17
     is_pair = items["count"] == 2
@@ -61,33 +68,35 @@ def _walk_step(nodes, node_lens, num_nodes, digests, key_nibbles, key_len, carry
 
     # ---- branch node ----
     key_exhausted = key_pos >= key_len
-    bval_len = items["payload_len"][16]
+    bval_len = items["i16_len"]
     branch_found = is_branch & key_exhausted & (bval_len > 0)
     branch_excl = is_branch & key_exhausted & (bval_len == 0)
-    c = key_nibbles[jnp.clip(key_pos, 0, key_nibbles.shape[0] - 1)].astype(jnp.int32)
-    b_cstart = items["item_start"][c]
-    b_cpay = items["payload_start"][c]
-    b_cplen = items["payload_len"][c]
-    b_clist = items["is_list"][c]
+    b_cstart = items["c_start"]
+    b_cpay = items["c_pay"]
+    b_cplen = items["c_len"]
+    b_clist = items["c_list"]
     take_child = is_branch & ~key_exhausted
     child_empty = take_child & ~b_clist & (b_cplen == 0)
 
     # ---- extension/leaf node (2 items) ----
-    p0s = items["payload_start"][0]
-    p0l = items["payload_len"][0]
-    p0list = items["is_list"][0]
-    b0 = buf[jnp.clip(p0s, 0, buf.shape[0] - 1)].astype(jnp.int32)
+    p0s = items["i0_pay"]
+    p0l = items["i0_len"]
+    p0list = items["i0_list"]
+    # gather-free window fetch of the hex-prefix path (profiled: batched
+    # gathers were ~65% of walk time; the one-hot matmul form is ~3x faster)
+    path_window = fetch_window_1d(buf, p0s, maxnib // 2 + 2)  # [K/2+2] bytes
+    wnib = bytes_to_nibbles_device(path_window).astype(jnp.int32)  # [K+4]
+    b0 = path_window[0].astype(jnp.int32)
     flag = b0 >> 4
     is_leaf = flag >= 2
     odd = flag & 1
+    # path nibble j lives at global nibble index j + (2 - odd); odd has only
+    # two values, so select between two static slices instead of gathering
+    path_nib = jnp.where(odd == 1, wnib[1 : maxnib + 1], wnib[2 : maxnib + 2])
     hp_ok = is_pair & ~p0list & (p0l >= 1) & (flag <= 3) & ((odd == 1) | ((b0 & 0x0F) == 0))
     n_path = 2 * (p0l - 1) + odd
-    maxnib = key_nibbles.shape[0]
     j = jnp.arange(maxnib)
-    g = j + (2 - odd)
-    path_byte = buf[jnp.clip(p0s + g // 2, 0, buf.shape[0] - 1)].astype(jnp.int32)
-    path_nib = jnp.where(g % 2 == 0, path_byte >> 4, path_byte & 0x0F)
-    key_nib = key_nibbles[jnp.clip(key_pos + j, 0, maxnib - 1)].astype(jnp.int32)
+    key_nib = key_win
     active_j = j < n_path
     within_key = key_pos + n_path <= key_len
     nibbles_match = jnp.all(~active_j | (path_nib == key_nib)) & within_key
@@ -97,10 +106,10 @@ def _walk_step(nodes, node_lens, num_nodes, digests, key_nibbles, key_len, carry
     ext_bad = is_pair & ~is_leaf & (n_path == 0)  # empty extension path: malformed
     ext_excl = is_pair & ~is_leaf & ~nibbles_match
     ext_child = is_pair & ~is_leaf & nibbles_match & ~ext_bad
-    e_cstart = items["item_start"][1]
-    e_cpay = items["payload_start"][1]
-    e_cplen = items["payload_len"][1]
-    e_clist = items["is_list"][1]
+    e_cstart = items["i1_start"]
+    e_cpay = items["i1_pay"]
+    e_cplen = items["i1_len"]
+    e_clist = items["i1_list"]
     bad_node = bad_node | (is_pair & ~hp_ok) | ext_bad
 
     # ---- merge child reference (branch child or extension child) ----
@@ -114,7 +123,7 @@ def _walk_step(nodes, node_lens, num_nodes, digests, key_nibbles, key_len, carry
     child_bad = has_child & ~clist & (cplen != 32)
 
     # hash-referenced child: advance to the next proof node, check its digest
-    expected = read_bytes32(buf, cpay)
+    expected = fetch_window_1d(buf, cpay, 32)
     nxt = node_idx + 1
     have_next = nxt < num_nodes
     next_digest = digests[jnp.clip(nxt, 0, digests.shape[0] - 1)]
@@ -135,10 +144,10 @@ def _walk_step(nodes, node_lens, num_nodes, digests, key_nibbles, key_len, carry
     found_now = new_status == FOUND
     new_vnode = jnp.where(found_now, node_idx, vnode)
     new_vstart = jnp.where(
-        found_now, jnp.where(leaf_found, items["payload_start"][1], items["payload_start"][16]), vstart
+        found_now, jnp.where(leaf_found, items["i1_pay"], items["i16_pay"]), vstart
     )
     new_vlen = jnp.where(
-        found_now, jnp.where(leaf_found, items["payload_len"][1], items["payload_len"][16]), vlen
+        found_now, jnp.where(leaf_found, items["i1_len"], items["i16_len"]), vlen
     )
     new_key_pos = jnp.where(take_child, key_pos + 1, jnp.where(ext_child, key_pos + n_path, key_pos))
     new_node_idx = jnp.where(child_hash, nxt, node_idx)

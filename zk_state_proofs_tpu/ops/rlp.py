@@ -104,6 +104,94 @@ def node_items(buf, start, buf_len):
     }
 
 
+def item_head_window(win):
+    """item_head from a pre-fetched [>=4] byte window starting at the item.
+    Returns (payload_offset, payload_len, is_list, head_valid) with
+    payload_offset RELATIVE to the window start. All indexing is static —
+    no gathers."""
+    w = win.astype(jnp.int32)
+    b0 = w[0]
+    single = b0 < 0x80
+    long_str = (b0 >= 0xB8) & (b0 <= 0xBF)
+    long_list = b0 >= 0xF8
+    is_list = b0 >= 0xC0
+    lol = jnp.where(long_str, b0 - 0xB7, jnp.where(long_list, b0 - 0xF7, 0))
+    long_len = jnp.where(
+        lol == 1, w[1], jnp.where(lol == 2, (w[1] << 8) | w[2],
+                                  (w[1] << 16) | (w[2] << 8) | w[3])
+    )
+    payload_len = jnp.where(
+        single, 1,
+        jnp.where(long_str | long_list, long_len,
+                  jnp.where(is_list, b0 - 0xC0, b0 - 0x80)),
+    )
+    payload_off = jnp.where(single, 0, 1 + lol)
+    return payload_off, payload_len, is_list, lol <= 3
+
+
+def decode_node_select(buf, start, buf_len, child_idx):
+    """Decode a trie node and select one child slot in a single unrolled
+    pass — the walker's fast path.
+
+    Unlike `node_items` (lax.scan + stacked [17] arrays), this never
+    materializes per-item arrays: the 17 header parses are unrolled
+    straight-line and the slot at `child_idx` is accumulated with scalar
+    where-selects. Measured ~100x faster under vmap+fori_loop on TPU than
+    dynamically indexing scan outputs.
+
+    Returns a dict of scalars:
+      count, well_formed, list_end
+      i0_pay, i0_len, i0_list        (item 0 — hex-prefix path / branch c0)
+      i1_start, i1_pay, i1_len, i1_list  (item 1 — ext/leaf payload)
+      i16_pay, i16_len               (branch value slot)
+      c_start, c_pay, c_len, c_list  (the slot at child_idx)
+    """
+    from .select import fetch_window_1d  # local import to avoid a cycle
+
+    head_win = fetch_window_1d(buf, start, 4)
+    po, plen, is_list, head_ok = item_head_window(head_win)
+    ps = start + po
+    end = ps + plen
+    zero = jnp.int32(0)
+    sel = {
+        "i0_pay": zero, "i0_len": zero, "i0_list": False,
+        "i1_start": zero, "i1_pay": zero, "i1_len": zero, "i1_list": False,
+        "i16_pay": zero, "i16_len": zero,
+        "c_start": zero, "c_pay": zero, "c_len": zero, "c_list": False,
+    }
+    cursor = ps
+    count = zero
+    all_ok = jnp.bool_(True)
+    for i in range(MAX_ITEMS):
+        win = fetch_window_1d(buf, cursor, 4)
+        ipo, ipl, ilist, ok = item_head_window(win)
+        ips = cursor + ipo
+        present = cursor < end
+        if i == 0:
+            sel["i0_pay"], sel["i0_len"], sel["i0_list"] = ips, ipl, ilist
+        if i == 1:
+            sel["i1_start"], sel["i1_pay"], sel["i1_len"], sel["i1_list"] = (
+                cursor, ips, ipl, ilist,
+            )
+        if i == 16:
+            sel["i16_pay"], sel["i16_len"] = ips, ipl
+        if i < 16:
+            hit = present & (child_idx == i)
+            sel["c_start"] = jnp.where(hit, cursor, sel["c_start"])
+            sel["c_pay"] = jnp.where(hit, ips, sel["c_pay"])
+            sel["c_len"] = jnp.where(hit, ipl, sel["c_len"])
+            sel["c_list"] = jnp.where(hit, ilist, sel["c_list"])
+        count = count + present.astype(jnp.int32)
+        all_ok = all_ok & (~present | ok)
+        cursor = jnp.where(present, ips + ipl, cursor)
+    sel["count"] = count
+    sel["list_end"] = end
+    sel["well_formed"] = (
+        is_list & head_ok & (cursor == end) & (end <= buf_len) & all_ok
+    )
+    return sel
+
+
 def read_bytes32(buf, pos):
     """Gather 32 bytes starting at `pos` (clamped) as uint8 [32]."""
     idx = jnp.clip(pos + jnp.arange(32), 0, buf.shape[0] - 1)

@@ -1,0 +1,44 @@
+"""CLI driver + graft entry contract."""
+
+import json
+import sys
+
+import pytest
+
+from zk_state_proofs_tpu.__main__ import main
+from zk_state_proofs_tpu.witness import save_fixture, synthetic_block
+
+
+def test_selftest(capsys):
+    rc = main(["selftest", "--txs", "8"])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0
+    assert out["ok"] is True
+    assert out["transactions"]["found"] == 8
+
+
+def test_verify_tx_and_receipts_from_fixture(tmp_path, capsys):
+    fx = synthetic_block(num_txs=10, seed=31)
+    path = tmp_path / "block.json"
+    save_fixture(path, fx)
+
+    rc = main(["verify-tx", "--fixture", str(path), "--index", "4"])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0 and out["counts"]["found"] == 1
+
+    rc = main(["verify-receipts", "--fixture", str(path), "--erc20"])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0 and out["counts"]["found"] == 10
+    assert "erc20_transfers" in out
+
+
+def test_graft_entry():
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    import numpy as np
+
+    status = np.asarray(fn(*args)[0])
+    assert (status == 1).all()
+    g.dryrun_multichip(8)

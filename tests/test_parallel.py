@@ -42,3 +42,27 @@ def test_sharded_verify_matches_single_device():
     assert (s1 == status).all()
     assert (l1 == vlens).all()
     assert (v1 == values).all()
+
+
+def test_sharded_trie_root_matches_oracle():
+    import random
+
+    from zk_state_proofs_tpu.oracle import rlp as orlp
+    from zk_state_proofs_tpu.parallel import compute_root_sharded
+    from zk_state_proofs_tpu.witness.trie_plan import plan_index_trie
+    from zk_state_proofs_tpu.oracle import EthTrie
+
+    rng = random.Random(9)
+    values = [bytes(rng.randrange(256) for _ in range(50 + rng.randrange(300)))
+              for _ in range(150)]
+    t = EthTrie()
+    for i, v in enumerate(values):
+        t.insert(orlp.encode_int(i), v)
+    want = t.root_hash()
+
+    mesh = make_mesh()
+    plan = plan_index_trie(values)
+    # leaves level must actually shard over 8 devices
+    assert plan.levels[0].templates.shape[0] >= 8 * 8
+    root, _ = compute_root_sharded(mesh, plan)
+    assert bytes(root) == want

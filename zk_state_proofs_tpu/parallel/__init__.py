@@ -1,6 +1,7 @@
 """L5 mesh/sharding layer: data-parallel proof verification over a device
 mesh with psum-reduced stats."""
 
+from .dist_trie import compute_root_sharded
 from .mesh import (
     BATCH_AXIS,
     make_mesh,
@@ -10,6 +11,7 @@ from .mesh import (
 )
 
 __all__ = [
+    "compute_root_sharded",
     "BATCH_AXIS",
     "make_mesh",
     "make_sharded_verifier",

@@ -139,3 +139,74 @@ def test_ethereum_client_requires_key(monkeypatch):
     monkeypatch.setenv("INFURA", "test-key")
     c = EthereumClient(transport=lambda u, p: {"result": 1})
     assert c.url.endswith("test-key")
+
+
+def test_packed_save_load(tmp_path):
+    from zk_state_proofs_tpu.oracle import EthTrie
+
+    t = EthTrie()
+    for i in range(30):
+        t.insert(keccak256(b"s%d" % i), b"val%d" % i)
+    root = t.root_hash()
+    entries = [(root, t.get_proof(keccak256(b"s%d" % i)), keccak256(b"s%d" % i)) for i in range(8)]
+    packed = pack_proofs(entries)
+    path = tmp_path / "witness.npz"
+    packed.save(path)
+    from zk_state_proofs_tpu.witness import PackedProofs
+
+    loaded = PackedProofs.load(path)
+    for a, b in zip(packed.astuple(), loaded.astuple()):
+        assert (np.asarray(a) == np.asarray(b)).all()
+
+
+def test_network_flavors_fake_transport():
+    from zk_state_proofs_tpu.witness.networks import (
+        NetworkEvm, get_account_proof_inputs, get_transaction_proof_inputs,
+    )
+    from zk_state_proofs_tpu.witness import WitnessError
+    from zk_state_proofs_tpu.witness.rpc import ArbitrumClient, OptimismClient
+    from zk_state_proofs_tpu.oracle import EthTrie
+
+    # build a real account trie so the recorded 'RPC' responses verify
+    t = EthTrie()
+    addr = "0x" + "ab" * 20
+    key = keccak256(bytes.fromhex("ab" * 20))
+    leaf = rlp.encode([b"\x01", b"\x02", keccak256(b"sr"), keccak256(b"ch")])
+    t.insert(key, leaf)
+    for i in range(50):
+        t.insert(keccak256(b"other%d" % i), rlp.encode([b"\x01", b"", b"", b""]))
+    root = t.root_hash()
+    proof_nodes = ["0x" + p.hex() for p in t.get_proof(key)]
+
+    def transport(url, payload):
+        if payload["method"] == "eth_getBlockByNumber":
+            return {"result": {"stateRoot": "0x" + root.hex()}}
+        if payload["method"] == "eth_getProof":
+            return {"result": {"accountProof": proof_nodes, "storageProof": []}}
+        raise AssertionError(payload["method"])
+
+    client = OptimismClient(transport=transport)
+    inp = get_account_proof_inputs(client, addr, NetworkEvm.OPTIMISM)
+    assert verify_merkle_proof(inp.root_hash, inp.proof, inp.key) == leaf
+
+    # Arbitrum tx proofs unsupported (reference parity)
+    arb = ArbitrumClient(transport=transport)
+    with pytest.raises(WitnessError):
+        get_transaction_proof_inputs(arb, "0x00", 0, NetworkEvm.ARBITRUM)
+
+
+def test_sweep_model():
+    from zk_state_proofs_tpu.models import sweep, replicated_batches
+    from zk_state_proofs_tpu.oracle import EthTrie
+
+    t = EthTrie()
+    keys = []
+    for i in range(40):
+        k = keccak256(b"sw%d" % i)
+        keys.append(k)
+        t.insert(k, b"v%d" % i)
+    root = t.root_hash()
+    packed = pack_proofs([(root, t.get_proof(k), k) for k in keys[:16]])
+    res = sweep(replicated_batches(packed, 4))
+    assert res.total == 64 and res.found == 64 and res.invalid == 0
+    assert res.proofs_per_sec > 0

@@ -8,7 +8,10 @@ from .blocks import (
     verify_block_receipts,
     verify_block_transactions,
 )
+from .sweep import SweepResult, replicated_batches, sweep
 from .verifier import (
+    batch_commitment,
+    verify_account_batch,
     StorageVerifyResult,
     VerifyResult,
     verify_merkle_batch,
@@ -17,6 +20,11 @@ from .verifier import (
 )
 
 __all__ = [
+    "SweepResult",
+    "replicated_batches",
+    "sweep",
+    "batch_commitment",
+    "verify_account_batch",
     "Erc20Transfer",
     "decode_receipt_value",
     "extract_erc20_transfers",

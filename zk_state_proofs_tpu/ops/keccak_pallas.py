@@ -114,25 +114,48 @@ def _permute(sh, sl, rc_ref, unrolled: bool = False):
 
 def _keccak_kernel(num_blocks: int, masked: bool, rc_ref, *refs):
     if masked:
-        nblk_ref, mh_ref, ml_ref, out_ref = refs
+        nblk_ref, mh_ref, ml_ref, out_ref, st_ref = refs
     else:
         mh_ref, ml_ref, out_ref = refs
     zero = jnp.zeros((TILE_SUB, TILE_LANE), jnp.uint32)
-    sh = [zero] * 25
-    sl = [zero] * 25
+
+    if not masked:
+        sh = [zero] * 25
+        sl = [zero] * 25
+        for ib in range(num_blocks):
+            xh = [sh[w] ^ mh_ref[0, ib, w] for w in range(WORDS)] + sh[WORDS:]
+            xl = [sl[w] ^ ml_ref[0, ib, w] for w in range(WORDS)] + sl[WORDS:]
+            sh, sl = _permute(xh, xl, rc_ref)
+        for w in range(4):
+            out_ref[0, w, 0] = sh[w]
+            out_ref[0, w, 1] = sl[w]
+        return
+
+    # masked path: state lives in VMEM scratch [50, sub, lane] so blocks a
+    # whole tile has already finished can skip their permutation entirely
+    # (batches sorted/bucketed by size make most tiles homogeneous)
+    for w in range(25):
+        st_ref[w] = zero
+        st_ref[25 + w] = zero
+    nblk = nblk_ref[0]
     for ib in range(num_blocks):
-        xh = [sh[w] ^ mh_ref[0, ib, w] for w in range(WORDS)] + sh[WORDS:]
-        xl = [sl[w] ^ ml_ref[0, ib, w] for w in range(WORDS)] + sl[WORDS:]
-        nh, nl = _permute(xh, xl, rc_ref)
-        if masked and ib > 0:
-            active = nblk_ref[0] > ib
-            sh = [jnp.where(active, a, b) for a, b in zip(nh, sh)]
-            sl = [jnp.where(active, a, b) for a, b in zip(nl, sl)]
-        else:
-            sh, sl = nh, nl  # every message absorbs block 0
+        @pl.when(jnp.any(nblk > ib) if ib > 0 else True)
+        def _(ib=ib):
+            sh = [st_ref[w] for w in range(25)]
+            sl = [st_ref[25 + w] for w in range(25)]
+            xh = [sh[w] ^ mh_ref[0, ib, w] for w in range(WORDS)] + sh[WORDS:]
+            xl = [sl[w] ^ ml_ref[0, ib, w] for w in range(WORDS)] + sl[WORDS:]
+            nh, nl = _permute(xh, xl, rc_ref)
+            if ib > 0:
+                active = nblk > ib
+                nh = [jnp.where(active, a, b) for a, b in zip(nh, sh)]
+                nl = [jnp.where(active, a, b) for a, b in zip(nl, sl)]
+            for w in range(25):
+                st_ref[w] = nh[w]
+                st_ref[25 + w] = nl[w]
     for w in range(4):
-        out_ref[0, w, 0] = sh[w]
-        out_ref[0, w, 1] = sl[w]
+        out_ref[0, w, 0] = st_ref[w]
+        out_ref[0, w, 1] = st_ref[25 + w]
 
 
 @functools.partial(jax.jit, static_argnames=("num_blocks", "masked"))
@@ -159,6 +182,9 @@ def _keccak_lanes(msg_hi, msg_lo, nblocks, *, num_blocks: int, masked: bool):
         inputs.append(nblocks)
     in_specs += [msg_spec, msg_spec]
     inputs += [msg_hi, msg_lo]
+    scratch = (
+        [pltpu.VMEM((50, TILE_SUB, TILE_LANE), jnp.uint32)] if masked else []
+    )
     return pl.pallas_call(
         kernel,
         grid=(bt,),
@@ -169,6 +195,7 @@ def _keccak_lanes(msg_hi, msg_lo, nblocks, *, num_blocks: int, masked: bool):
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((bt, 4, 2, TILE_SUB, TILE_LANE), jnp.uint32),
+        scratch_shapes=scratch,
         # off-TPU (CPU tests) the kernel runs in the Pallas interpreter
         interpret=jax.default_backend() != "tpu",
     )(*inputs)

@@ -166,7 +166,8 @@ def _walk_step(nodes, node_lens, num_nodes, digests, key_nibbles, key_len, carry
     )
 
 
-def walk_one(nodes, node_lens, num_nodes, digests, root, key_nibbles, key_len, max_value_len: int):
+def walk_one(nodes, node_lens, num_nodes, digests, root, key_nibbles, key_len,
+             max_value_len: int, max_steps: int | None = None):
     """Walk a single padded proof. Returns (status, value[max_value_len],
     value_len). vmapped over the batch by `verify_proofs`."""
     d = nodes.shape[0]
@@ -184,7 +185,8 @@ def walk_one(nodes, node_lens, num_nodes, digests, root, key_nibbles, key_len, m
     step = functools.partial(
         _walk_step, nodes, node_lens, num_nodes, digests, key_nibbles, key_len
     )
-    max_steps = d + 6  # hashed depth + headroom for nested inline nodes
+    if max_steps is None:
+        max_steps = d + 6  # hashed depth + headroom for nested inline nodes
     carry = jax.lax.fori_loop(0, max_steps, lambda _, c: step(c), carry)
     node_idx, off, key_pos, status, vnode, vstart, vlen = carry
     status = jnp.where(status == RUNNING, INVALID, status)
@@ -200,10 +202,16 @@ def walk_one(nodes, node_lens, num_nodes, digests, root, key_nibbles, key_len, m
 def hash_nodes(nodes, node_lens):
     """Phase 1: digest every padded proof node. nodes u8 [B, D, N],
     node_lens i32 [B, D] -> digests u8 [B, D, 32]. Uses the Pallas kernel on
-    TPU, the pure-jnp sponge elsewhere."""
+    TPU, the pure-jnp sponge elsewhere.
+
+    Rows are hashed depth-major ([D, B] order): node size correlates
+    strongly with trie depth (roots/branches span 4-5 rate blocks, leaves 1,
+    padding 0), so kernel tiles become near-homogeneous and the per-tile
+    block-skip in the masked kernel eliminates most padded permutations —
+    a free transpose instead of a device sort."""
     b, d, n = nodes.shape
-    flat = nodes.reshape(b * d, n)
-    lens = node_lens.reshape(b * d)
+    flat = nodes.transpose(1, 0, 2).reshape(b * d, n)
+    lens = node_lens.transpose(1, 0).reshape(b * d)
     if jax.default_backend() == "tpu":
         from .keccak_pallas import keccak256_tpu
 
@@ -212,12 +220,12 @@ def hash_nodes(nodes, node_lens):
         from .keccak import keccak256
 
         digests = keccak256(flat, lens)
-    return digests.reshape(b, d, 32)
+    return digests.reshape(d, b, 32).transpose(1, 0, 2)
 
 
-@functools.partial(jax.jit, static_argnames=("max_value_len",))
+@functools.partial(jax.jit, static_argnames=("max_value_len", "max_steps"))
 def verify_proofs(nodes, node_lens, num_nodes, roots, key_nibbles, key_lens,
-                  max_value_len: int = 128):
+                  max_value_len: int = 128, max_steps: int | None = None):
     """Batched MPT proof verification.
 
     nodes       u8  [B, D, N]   zero-padded RLP proof nodes, root first
@@ -226,12 +234,16 @@ def verify_proofs(nodes, node_lens, num_nodes, roots, key_nibbles, key_lens,
     roots       u8  [B, 32]     trusted root hashes
     key_nibbles u8  [B, K]      nibble-expanded lookup keys
     key_lens    i32 [B]         nibble counts
+    max_steps: walker trip count; default D + 6 (depth + headroom for
+    nested inline nodes). Tries whose values never encode below 32 bytes
+    (account tries: leaves >= 70 B) cannot contain inline nodes, so
+    max_steps = D is exact and ~2x faster.
     Returns (status i32 [B], values u8 [B, max_value_len], value_lens i32 [B]).
     """
     digests = hash_nodes(nodes, node_lens)
     walker = jax.vmap(
         lambda nd, nl, nn, dg, rt, kn, kl: walk_one(
-            nd, nl, nn, dg, rt, kn, kl, max_value_len
+            nd, nl, nn, dg, rt, kn, kl, max_value_len, max_steps
         )
     )
     return walker(nodes, node_lens, num_nodes, digests, roots, key_nibbles, key_lens)

@@ -43,6 +43,24 @@ class PackedProofs:
             self.key_lens,
         )
 
+    # -- disk cache (the framework's checkpoint/resume analog: packed
+    # witness tensors persist so sweeps resume without re-fetching/packing,
+    # SURVEY.md §5 checkpoint/resume) --
+    def save(self, path) -> None:
+        np.savez_compressed(
+            path,
+            nodes=self.nodes, node_lens=self.node_lens, num_nodes=self.num_nodes,
+            roots=self.roots, key_nibbles=self.key_nibbles, key_lens=self.key_lens,
+        )
+
+    @classmethod
+    def load(cls, path) -> "PackedProofs":
+        with np.load(path) as z:
+            return cls(
+                nodes=z["nodes"], node_lens=z["node_lens"], num_nodes=z["num_nodes"],
+                roots=z["roots"], key_nibbles=z["key_nibbles"], key_lens=z["key_lens"],
+            )
+
 
 def pack_proofs(
     entries,

@@ -159,3 +159,23 @@ def test_empty_trie_root():
     assert status[0] == mpt.EXCLUDED
     status, _, _ = _verify([(b"\x11" * 32, [], keccak256(b"x"))])
     assert status[0] == mpt.INVALID
+
+
+def test_shuffled_proof_order():
+    """Reference semantics: the proof DB is keyed by hash, so node order
+    must not matter (crypto-ops/src/lib.rs:10-13)."""
+    import random
+
+    t, kvs = _build_trie(150, seed=12)
+    root = t.root_hash()
+    rng = random.Random(0)
+    entries = []
+    keys = list(kvs)[:16]
+    for k in keys:
+        proof = list(t.get_proof(k))
+        rng.shuffle(proof)
+        entries.append((root, proof, k))
+    status, values, vlens = _verify(entries)
+    for i, k in enumerate(keys):
+        assert status[i] == mpt.FOUND, i
+        assert bytes(values[i][: vlens[i]]) == kvs[k]

@@ -122,13 +122,17 @@ def _walk_step(nodes, node_lens, num_nodes, digests, key_nibbles, key_len, carry
     child_inline = has_child & clist
     child_bad = has_child & ~clist & (cplen != 32)
 
-    # hash-referenced child: advance to the next proof node, check its digest
+    # hash-referenced child: locate the node whose digest matches, matching
+    # the reference's hash-keyed proof DB semantics (crypto-ops/src/
+    # lib.rs:10-13 — proof nodes may arrive in ANY order)
     expected = fetch_window_1d(buf, cpay, 32)
-    nxt = node_idx + 1
-    have_next = nxt < num_nodes
-    next_digest = digests[jnp.clip(nxt, 0, digests.shape[0] - 1)]
-    hash_ok = jnp.all(next_digest == expected)
-    hash_fail = child_hash & (~have_next | ~hash_ok)
+    d = digests.shape[0]
+    row_match = jnp.all(digests == expected[None, :], axis=1) & (
+        jnp.arange(d) < num_nodes
+    )
+    have_next = jnp.any(row_match)
+    nxt = jnp.argmax(row_match).astype(jnp.int32)
+    hash_fail = child_hash & ~have_next
 
     # ---- resolve new state ----
     new_status = jnp.where(
@@ -173,14 +177,20 @@ def walk_one(nodes, node_lens, num_nodes, digests, root, key_nibbles, key_len,
     d = nodes.shape[0]
     empty_proof = num_nodes == 0
     root_is_empty = jnp.all(root == jnp.asarray(_EMPTY_ROOT_NP))
-    root_ok = jnp.all(digests[0] == root)
+    # the root node may sit anywhere in the (unordered) proof list —
+    # reference semantics: proof DB keyed by hash (crypto-ops/src/lib.rs:14)
+    root_match = jnp.all(digests == root[None, :], axis=1) & (
+        jnp.arange(d) < num_nodes
+    )
+    root_ok = jnp.any(root_match)
+    root_idx = jnp.argmax(root_match).astype(jnp.int32)
     status0 = jnp.where(
         empty_proof,
         jnp.where(root_is_empty, EXCLUDED, INVALID),
         jnp.where(root_ok, RUNNING, INVALID),
     ).astype(jnp.int32)
     zero = jnp.int32(0)
-    carry = (zero, zero, zero, status0, zero, zero, zero)
+    carry = (root_idx, zero, zero, status0, zero, zero, zero)
 
     step = functools.partial(
         _walk_step, nodes, node_lens, num_nodes, digests, key_nibbles, key_len

@@ -105,8 +105,44 @@ def bench_verify(batch=4096, iters=20):
     return batch / best
 
 
+def bench_keccak(batch=1 << 17, length=100, iters=32):
+    """Secondary diagnostic (stderr): raw single-block Keccak-256 rate —
+    BASELINE's first metric (target >= 10M hashes/sec/chip)."""
+    import jax
+    import jax.numpy as jnp
+    from zk_state_proofs_tpu.ops.keccak_pallas import keccak256_tpu
+
+    rng = np.random.default_rng(0)
+    data = jnp.asarray(rng.integers(0, 256, (batch, length), dtype=np.uint8))
+
+    @jax.jit
+    def step(d, ctr):
+        ctr = ctr + 1
+        out = keccak256_tpu(d.at[:, -1].set(ctr.astype(jnp.uint8)))
+        return out, ctr
+
+    ctr = jnp.zeros((), jnp.int32)
+    out, ctr = step(data, ctr)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        for _ in range(iters):
+            out, ctr = step(data, ctr)
+        jax.block_until_ready(out)
+        best = min(best, (time.time() - t0) / iters)
+    rate = batch / best
+    _log(f"keccak diag: {best*1e3:.2f} ms / {batch} single-block msgs "
+         f"-> {rate/1e6:.1f} M hashes/sec/chip")
+    return rate
+
+
 def main():
     value = bench_verify()
+    try:
+        bench_keccak()
+    except Exception as e:  # diagnostics must never break the headline line
+        _log(f"keccak diag failed: {e!r}")
     per_chip_target = 100_000 / 16  # BASELINE: 100k proofs/s on v5e-16
     print(json.dumps({
         "metric": "mpt_proofs_per_sec_per_chip",

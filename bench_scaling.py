@@ -1,0 +1,67 @@
+"""Scaling-efficiency harness: proofs/sec at mesh sizes 1, 2, 4, ... N.
+
+BASELINE.md metric: "scaling efficiency measured 1 chip -> 1 host -> N>=2
+hosts". On this CI there is one real TPU chip, so multi-device scaling is
+demonstrated on the virtual CPU mesh (JAX_PLATFORMS=cpu +
+--xla_force_host_platform_device_count); on a real pod slice the same code
+paths shard over ICI/DCN via jax.distributed.initialize.
+
+Prints one JSON object per mesh size (stderr) and a final JSON summary
+line (stdout).
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from bench import build_witness_batch
+    from zk_state_proofs_tpu.models import replicated_batches, sweep
+    from zk_state_proofs_tpu.parallel import make_mesh
+
+    ndev_total = len(jax.devices())
+    batch = 4096
+    packed = build_witness_batch(batch)
+    sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= ndev_total]
+    results = {}
+    base = None
+    for n in sizes:
+        mesh = make_mesh(n) if n > 1 else None
+        # warmup (compile)
+        sweep(replicated_batches(packed, 1), mesh=mesh)
+        res = sweep(replicated_batches(packed, 8), mesh=mesh)
+        assert res.found == res.total, res
+        pps = res.proofs_per_sec
+        if base is None:
+            base = pps
+        eff = pps / (base * n)
+        results[n] = {"proofs_per_sec": round(pps, 1), "efficiency": round(eff, 3)}
+        print(json.dumps({"devices": n, **results[n]}), file=sys.stderr, flush=True)
+    summary = {
+        "metric": "scaling_proofs_per_sec",
+        "devices": sizes,
+        "results": results,
+        "backend": jax.default_backend(),
+    }
+    if jax.default_backend() == "cpu":
+        summary["note"] = (
+            "virtual CPU devices share one physical CPU: total throughput is "
+            "fixed, so efficiency ~1/n is expected; this validates the "
+            "sharded code path, not hardware scaling"
+        )
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

@@ -8,6 +8,11 @@ from .blocks import (
     verify_block_receipts,
     verify_block_transactions,
 )
+from .circuits import (
+    run_merkle_circuit,
+    run_merkle_circuit_batch,
+    run_storage_circuit,
+)
 from .sweep import SweepResult, replicated_batches, sweep
 from .verifier import (
     batch_commitment,
@@ -20,6 +25,9 @@ from .verifier import (
 )
 
 __all__ = [
+    "run_merkle_circuit",
+    "run_merkle_circuit_batch",
+    "run_storage_circuit",
     "SweepResult",
     "replicated_batches",
     "sweep",

@@ -3,7 +3,9 @@
 Streams fixed-geometry witness batches through the (optionally mesh-
 sharded) batch verifier, overlapping host packing with device compute via
 async dispatch, and accumulates a throughput Meter. Batches reuse one jit
-executable (stable bucket shapes), so the steady state is pure device time.
+executable (stable bucket shapes), so the steady state is device time plus
+host->device witness transfer (the latter dominates through this CI's
+remote-relay tunnel; on directly-attached chips DMA overlaps dispatch).
 """
 
 from __future__ import annotations
@@ -44,9 +46,11 @@ def sweep(batches, mesh=None, max_value_len: int = 128, max_steps=None,
 
         fn = make_sharded_verifier(mesh, max_value_len=max_value_len)
     else:
-        fn = jax.jit(functools.partial(
+        # mpt.verify_proofs is already jitted; calling it directly reuses
+        # its global trace cache across sweep() invocations
+        fn = functools.partial(
             mpt.verify_proofs, max_value_len=max_value_len, max_steps=max_steps
-        ))
+        )
     totals = np.zeros(3, dtype=np.int64)
     total = 0
     t0 = time.time()

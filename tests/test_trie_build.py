@@ -62,3 +62,26 @@ def test_receipt_trie_from_synthetic_block():
     plan = plan_index_trie(values)
     got = compute_root_bytes(plan)
     assert "0x" + got.hex() == fx["block"]["receiptsRoot"]
+
+
+def test_extension_node_trie_plan():
+    """Keys sharing prefixes force extension nodes through the planner
+    (the canonical 'dogs' trie contains ext + branch-with-value nodes)."""
+    items = [(b"do", b"verb"), (b"dog", b"puppy"), (b"doge", b"coin"),
+             (b"horse", b"stallion")]
+    plan = plan_trie(items)
+    got = compute_root_bytes(plan)
+    assert got.hex() == "5991bb8c6514148a29db676a14ac506cd2cd5775ace63c30a4fe457715e9ac84"
+
+
+def test_large_values_multiblock_leaves():
+    """Leaves spanning several keccak rate blocks (tx-calldata-sized)."""
+    import random
+
+    rng = random.Random(3)
+    values = [bytes(rng.randrange(256) for _ in range(500 + rng.randrange(1500)))
+              for _ in range(40)]
+    plan = plan_index_trie(values)
+    got = compute_root_bytes(plan)
+    want = _oracle_root((rlp.encode_int(i), v) for i, v in enumerate(values))
+    assert got == want

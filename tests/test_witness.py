@@ -210,3 +210,37 @@ def test_sweep_model():
     res = sweep(replicated_batches(packed, 4))
     assert res.total == 64 and res.found == 64 and res.invalid == 0
     assert res.proofs_per_sec > 0
+
+
+def test_optimism_deposit_tx_block():
+    """OP deposit transactions (type 0x7e) get the manual envelope prefix
+    (reference transaction.rs:93-97); a block mixing deposit + 1559 txs
+    must rebuild to a consistent transactionsRoot and verify."""
+    from zk_state_proofs_tpu.witness.builders import build_transaction_trie
+    from zk_state_proofs_tpu.witness.encoding import encode_transaction
+
+    deposit = {
+        "type": "0x7e",
+        "sourceHash": "0x" + "11" * 32,
+        "from": "0x" + "22" * 20,
+        "to": "0x" + "33" * 20,
+        "mint": "0x0",
+        "value": "0xde0b6b3a7640000",
+        "gas": "0xf4240",
+        "isSystemTx": False,
+        "input": "0x",
+    }
+    enc = encode_transaction(deposit)
+    assert enc[0] == 0x7E
+    eip1559 = {
+        "type": "0x2", "chainId": "0xa", "nonce": "0x1",
+        "maxPriorityFeePerGas": "0x1", "maxFeePerGas": "0x2", "gas": "0x5208",
+        "to": "0x" + "44" * 20, "value": "0x0", "input": "0xabcd",
+        "yParity": "0x0", "r": "0x" + "55" * 32, "s": "0x" + "66" * 32,
+    }
+    txs = [deposit, eip1559]
+    trie = build_transaction_trie(txs)
+    root = trie.root_hash()
+    block = {"transactions": txs, "transactionsRoot": "0x" + root.hex()}
+    inp = get_transaction_proof_input(block, 0)
+    assert verify_merkle_proof(inp.root_hash, inp.proof, inp.key) == enc

@@ -69,7 +69,7 @@ def bench_verify(batch=4096, iters=20):
     # account-trie bucket: leaves are >= 70 B so inline nodes cannot occur;
     # the walk needs exactly max_nodes steps
     fn = functools.partial(mpt.verify_proofs, max_value_len=128,
-                           max_steps=packed.nodes.shape[1])
+                           max_steps=packed.nodes.shape[1], conditional=False)
     t0 = time.time()
     status, values, vlens = jax.block_until_ready(fn(*args))
     _log(f"compile+first run: {time.time()-t0:.1f}s  "

@@ -1,0 +1,194 @@
+"""The five BASELINE.json workload configs as runnable benchmarks.
+
+  1. Single transaction Merkle proof verified vs transactions_root
+     (recorded/synthetic fixture).
+  2. Account proof + storage-slot proof vs state_root (nested tries).
+  3. Full receipt-trie verification for one block + ERC20 log extraction.
+  4. Batch of 4096 mixed account/storage/tx proofs, data-parallel, 1 chip.
+  5. Large proof sweep (scaled-down 1M-proof config) with sharded batches
+     and collective trie-root reduction.
+
+Prints one JSON line per config (stdout). Run with --quick for smaller
+shapes. The headline driver metric stays in bench.py.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+
+import numpy as np
+
+
+def _emit(name, **kw):
+    print(json.dumps({"config": name, **kw}), flush=True)
+
+
+def config1_single_tx(quick):
+    from zk_state_proofs_tpu.witness import synthetic_block, get_transaction_proof_input
+    from zk_state_proofs_tpu.models import run_merkle_circuit
+    from zk_state_proofs_tpu.witness.encoding import encode_transaction
+
+    fx = synthetic_block(num_txs=16 if quick else 64, seed=1)
+    inp = get_transaction_proof_input(fx["block"], 15)
+    t0 = time.time()
+    value = run_merkle_circuit(inp.to_borsh())
+    dt = time.time() - t0
+    ok = value == encode_transaction(fx["block"]["transactions"][15])
+    _emit("single_tx_proof", ok=ok, seconds=round(dt, 3))
+    return ok
+
+
+def config2_account_storage(quick):
+    from zk_state_proofs_tpu.oracle import EthTrie, keccak256, rlp
+    from zk_state_proofs_tpu.models import run_storage_circuit
+    from zk_state_proofs_tpu.witness import StorageProofInput
+
+    world, st = EthTrie(), EthTrie()
+    addr = bytes.fromhex("dac17f958d2ee523a2206206994597c13d831ec7")
+    slot = bytes(32)  # totalSupply slot 0 (reference constants.rs)
+    val = rlp.encode_int(39_035_000_000_000)
+    st.insert(keccak256(slot), val)
+    sroot = st.root_hash()
+    world.insert(keccak256(addr), rlp.encode([b"\x01", b"\x01", sroot, keccak256(b"usdt")]))
+    for i in range(64 if quick else 512):
+        world.insert(keccak256(b"acct%d" % i), rlp.encode([b"\x01", b"", sroot, sroot]))
+    inp = StorageProofInput(
+        account_proof=world.get_proof(keccak256(addr)),
+        storage_proofs=[st.get_proof(keccak256(slot))],
+        root_hash=world.root_hash(),
+        account_key=keccak256(addr),
+        storage_keys=[slot],
+        address_keccak=keccak256(addr),
+    )
+    t0 = time.time()
+    values = run_storage_circuit(inp.to_borsh())
+    dt = time.time() - t0
+    ok = values == [val]
+    _emit("account_storage_proof", ok=ok, seconds=round(dt, 3))
+    return ok
+
+
+def config3_receipt_trie(quick):
+    from zk_state_proofs_tpu.witness import synthetic_block
+    from zk_state_proofs_tpu.models import verify_block_receipts
+
+    n = 32 if quick else 128
+    fx = synthetic_block(num_txs=n, seed=3)
+    t0 = time.time()
+    res, transfers = verify_block_receipts(fx["block"], fx["receipts"])
+    dt = time.time() - t0
+    ok = res.all_found
+    _emit("full_receipt_trie", ok=ok, receipts=n, erc20_transfers=len(transfers),
+          seconds=round(dt, 3))
+    return ok
+
+
+def config4_mixed_batch(quick):
+    from zk_state_proofs_tpu.oracle import EthTrie, keccak256, rlp
+    from zk_state_proofs_tpu.ops import mpt
+    from zk_state_proofs_tpu.witness import pack_proofs, synthetic_block
+    from zk_state_proofs_tpu.witness.builders import get_transaction_proof_input
+
+    total = 512 if quick else 4096
+    third = total // 3
+    # account proofs
+    t = EthTrie()
+    for i in range(256):
+        t.insert(keccak256(b"a%d" % i),
+                 rlp.encode([b"\x01", b"\x02", keccak256(b"s"), keccak256(b"c")]))
+    root = t.root_hash()
+    entries = []
+    for i in range(third):
+        k = keccak256(b"a%d" % (i % 256))
+        entries.append((root, t.get_proof(k), k))
+    # storage proofs
+    st = EthTrie()
+    for i in range(256):
+        st.insert(keccak256(keccak256(b"slot%d" % i)), rlp.encode_int(i + 1))
+    sroot = st.root_hash()
+    for i in range(third):
+        k = keccak256(keccak256(b"slot%d" % (i % 256)))
+        entries.append((sroot, st.get_proof(k), k))
+    # tx proofs
+    fx = synthetic_block(num_txs=32, seed=4)
+    tx_inputs = [get_transaction_proof_input(fx["block"], i) for i in range(32)]
+    while len(entries) < total:
+        inp = tx_inputs[len(entries) % 32]
+        entries.append(inp.as_entry())
+    packed = pack_proofs(entries)
+    t0 = time.time()
+    status = np.asarray(mpt.verify_proofs(*packed.astuple())[0])
+    compile_dt = time.time() - t0
+    t0 = time.time()
+    reps = 5
+    for _ in range(reps):
+        status = mpt.verify_proofs(*packed.astuple())[0]
+    status = np.asarray(status)
+    dt = (time.time() - t0) / reps
+    ok = (status == mpt.FOUND).all()
+    _emit("mixed_batch_4096", ok=bool(ok), batch=total,
+          proofs_per_sec=round(total / dt, 1), seconds=round(dt, 4))
+    return ok
+
+
+def config5_sweep_with_root_reduction(quick):
+    import jax
+
+    from zk_state_proofs_tpu.models import replicated_batches, sweep
+    from zk_state_proofs_tpu.parallel import compute_root_sharded, make_mesh
+    from zk_state_proofs_tpu.witness import synthetic_block
+    from zk_state_proofs_tpu.witness.encoding import encode_receipt
+    from zk_state_proofs_tpu.witness.trie_plan import plan_index_trie
+    from bench import build_witness_batch
+
+    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    batch = 1024 if quick else 4096
+    nbatches = 4 if quick else 32
+    packed = build_witness_batch(batch)
+    sweep(replicated_batches(packed, 1), mesh=mesh)  # compile
+    res = sweep(replicated_batches(packed, nbatches), mesh=mesh)
+    # collective trie-root reduction over a synthetic block's receipts
+    fx = synthetic_block(num_txs=64 if quick else 256, seed=5)
+    values = [encode_receipt(r) for r in fx["receipts"]]
+    plan = plan_index_trie(values)
+    if mesh is not None:
+        root, _ = compute_root_sharded(mesh, plan)
+    else:
+        from zk_state_proofs_tpu.ops.trie_build import compute_root
+
+        root, _ = compute_root(plan)
+    root_ok = "0x" + bytes(root).hex() == fx["block"]["receiptsRoot"]
+    ok = res.found == res.total and root_ok
+    _emit("sweep_with_root_reduction", ok=bool(ok), proofs=res.total,
+          proofs_per_sec=round(res.proofs_per_sec, 1), root_ok=bool(root_ok),
+          devices=(mesh.devices.size if mesh is not None else 1))
+    return ok
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--configs", default="1,2,3,4,5")
+    args = ap.parse_args()
+    fns = {
+        "1": config1_single_tx,
+        "2": config2_account_storage,
+        "3": config3_receipt_trie,
+        "4": config4_mixed_batch,
+        "5": config5_sweep_with_root_reduction,
+    }
+    ok = True
+    for c in args.configs.split(","):
+        ok &= bool(fns[c](args.quick))
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -42,3 +42,10 @@ def test_graft_entry():
     status = np.asarray(fn(*args)[0])
     assert (status == 1).all()
     g.dryrun_multichip(8)
+
+
+def test_committed_fixture_verifies(capsys):
+    """The in-repo recorded fixture must verify end-to-end via the CLI."""
+    rc = main(["verify-tx", "--fixture", "fixtures/synthetic_block_64.json"])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0 and out["counts"]["found"] == 64

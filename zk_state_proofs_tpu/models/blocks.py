@@ -17,6 +17,8 @@ from ..oracle import rlp
 from ..ops import mpt
 from ..utils.config import BucketConfig
 from ..witness.builders import (
+    get_all_receipt_proof_inputs,
+    get_all_transaction_proof_inputs,
     get_receipt_proof_input,
     get_transaction_proof_input,
 )
@@ -42,7 +44,9 @@ def verify_block_transactions(block: dict, indices=None) -> VerifyResult:
     txs = block["transactions"]
     if indices is None:
         indices = range(len(txs))
-    entries = [get_transaction_proof_input(block, i).as_entry() for i in indices]
+    indices = list(indices)
+    all_inputs = get_all_transaction_proof_inputs(block)  # one trie build
+    entries = [all_inputs[i].as_entry() for i in indices]
     bucket = _bucket_for(entries, key_nibbles=8)
     packed = pack_proofs(
         entries, max_nodes=bucket.max_nodes, node_len=bucket.node_len,
@@ -111,7 +115,8 @@ def verify_block_receipts(block: dict, receipts: list, indices=None):
     if indices is None:
         indices = range(len(receipts))
     indices = list(indices)
-    entries = [get_receipt_proof_input(block, receipts, i).as_entry() for i in indices]
+    all_inputs = get_all_receipt_proof_inputs(block, receipts)  # one build
+    entries = [all_inputs[i].as_entry() for i in indices]
     bucket = _bucket_for(entries, key_nibbles=8)
     packed = pack_proofs(
         entries, max_nodes=bucket.max_nodes, node_len=bucket.node_len,

@@ -7,10 +7,18 @@ it delegates to. Instead of a recursive DB walk, verification is
 
   Phase 1 (MXU/VPU-heavy): every proof node in the batch is keccak-hashed by
   the batched keccak kernel in one shot.
-  Phase 2 (gather/compare): a fixed-trip-count walker steps root -> leaf
-  through each proof, re-checking that each consumed child hash matches the
-  precomputed digest of the next node, decoding branch/extension/leaf
+  Phase 2 (decode/compare): a fixed-trip-count walker steps root -> leaf
+  through each proof, locating each consumed child by digest match over the
+  proof rows (the reference's hash-keyed DB semantics — node order never
+  matters, crypto-ops/src/lib.rs:10-14), decoding branch/extension/leaf
   structure with the fixed-shape RLP decoder, and consuming key nibbles.
+  All dynamic byte access is gather-free (ops/select.py one-hot matmuls).
+
+The batched step is conditioned at two levels (scalar lax.cond, so skipped
+work costs nothing at runtime): the extension/leaf hex-prefix machinery
+only runs on steps where some live proof sits on a 2-item node (account
+tries: 1 of ~6 steps), and a step where no proof is live at all is a no-op
+(early batch completion under conservative max_steps).
 
 Instead of panicking like the reference ("Failed to verify" /
 "Key does not exist!", crypto-ops/src/lib.rs:14,22), the batch verifier
@@ -50,17 +58,52 @@ INVALID = 3
 _EMPTY_ROOT_NP = np.frombuffer(EMPTY_ROOT, dtype=np.uint8)
 
 
-def _walk_step(nodes, node_lens, num_nodes, digests, key_nibbles, key_len, carry):
-    """One walker step over the current (possibly inline) node."""
-    node_idx, off, key_pos, status, vnode, vstart, vlen = carry
+def _step_decode(nodes, node_lens, key_nibbles, carry):
+    """Per-proof: fetch current node, decode items, select the child slot.
+    Cheap path — runs every step for every proof."""
+    node_idx, off, key_pos = carry[0], carry[1], carry[2]
     buf = nodes[node_idx]
     buf_len = node_lens[node_idx]
+    # next key nibble via masked sum (the full key window is only needed on
+    # pair-node steps and is fetched there)
+    kn = key_nibbles.astype(jnp.int32)
+    c = jnp.sum(jnp.where(jnp.arange(kn.shape[0]) == key_pos, kn, 0))
+    return decode_node_select(buf, off, buf_len, c)
+
+
+def _step_pair(nodes, node_lens, key_nibbles, key_len, carry, p0s, p0l, p0list):
+    """Per-proof extension/leaf machinery: hex-prefix decode + nibble-path
+    comparison. Expensive (two wide window fetches) — executed under a
+    scalar cond only when some live proof is on a 2-item node."""
+    node_idx, key_pos = carry[0], carry[2]
+    buf = nodes[node_idx]
     maxnib = key_nibbles.shape[0]
-    # single gather-free fetch of the remaining key window; element 0 is the
-    # branch child nibble (garbage once the key is exhausted — masked below)
-    key_win = fetch_window_1d(key_nibbles, key_pos, maxnib).astype(jnp.int32)
-    c = key_win[0]
-    items = decode_node_select(buf, off, buf_len, c)
+    path_window = fetch_window_1d(buf, p0s, maxnib // 2 + 2)
+    wnib = bytes_to_nibbles_device(path_window).astype(jnp.int32)
+    b0 = path_window[0].astype(jnp.int32)
+    flag = b0 >> 4
+    is_leaf = flag >= 2
+    odd = flag & 1
+    hp_ok = ~p0list & (p0l >= 1) & (flag <= 3) & ((odd == 1) | ((b0 & 0x0F) == 0))
+    n_path = 2 * (p0l - 1) + odd
+    # path nibble j lives at global nibble index j + (2 - odd); odd has only
+    # two values, so select between two static slices instead of gathering
+    path_nib = jnp.where(odd == 1, wnib[1 : maxnib + 1], wnib[2 : maxnib + 2])
+    key_nib = fetch_window_1d(key_nibbles, key_pos, maxnib).astype(jnp.int32)
+    j = jnp.arange(maxnib)
+    within_key = key_pos + n_path <= key_len
+    match = jnp.all((j >= n_path) | (path_nib == key_nib)) & within_key
+    return {
+        "is_leaf": is_leaf,
+        "hp_ok": hp_ok,
+        "n_path": n_path,
+        "match": match,
+    }
+
+
+def _step_merge(nodes, node_lens, num_nodes, digests, key_len, carry, items, pair):
+    """Per-proof: resolve the transition from decode + pair outputs."""
+    node_idx, off, key_pos, status, vnode, vstart, vlen = carry
 
     is_branch = items["count"] == 17
     is_pair = items["count"] == 2
@@ -71,60 +114,33 @@ def _walk_step(nodes, node_lens, num_nodes, digests, key_nibbles, key_len, carry
     bval_len = items["i16_len"]
     branch_found = is_branch & key_exhausted & (bval_len > 0)
     branch_excl = is_branch & key_exhausted & (bval_len == 0)
-    b_cstart = items["c_start"]
-    b_cpay = items["c_pay"]
-    b_cplen = items["c_len"]
-    b_clist = items["c_list"]
     take_child = is_branch & ~key_exhausted
-    child_empty = take_child & ~b_clist & (b_cplen == 0)
+    child_empty = take_child & ~items["c_list"] & (items["c_len"] == 0)
 
-    # ---- extension/leaf node (2 items) ----
-    p0s = items["i0_pay"]
-    p0l = items["i0_len"]
-    p0list = items["i0_list"]
-    # gather-free window fetch of the hex-prefix path (profiled: batched
-    # gathers were ~65% of walk time; the one-hot matmul form is ~3x faster)
-    path_window = fetch_window_1d(buf, p0s, maxnib // 2 + 2)  # [K/2+2] bytes
-    wnib = bytes_to_nibbles_device(path_window).astype(jnp.int32)  # [K+4]
-    b0 = path_window[0].astype(jnp.int32)
-    flag = b0 >> 4
-    is_leaf = flag >= 2
-    odd = flag & 1
-    # path nibble j lives at global nibble index j + (2 - odd); odd has only
-    # two values, so select between two static slices instead of gathering
-    path_nib = jnp.where(odd == 1, wnib[1 : maxnib + 1], wnib[2 : maxnib + 2])
-    hp_ok = is_pair & ~p0list & (p0l >= 1) & (flag <= 3) & ((odd == 1) | ((b0 & 0x0F) == 0))
-    n_path = 2 * (p0l - 1) + odd
-    j = jnp.arange(maxnib)
-    key_nib = key_win
-    active_j = j < n_path
-    within_key = key_pos + n_path <= key_len
-    nibbles_match = jnp.all(~active_j | (path_nib == key_nib)) & within_key
-
+    # ---- extension/leaf node ----
+    is_leaf = pair["is_leaf"]
+    n_path = pair["n_path"]
+    nibbles_match = pair["match"]
     leaf_found = is_pair & is_leaf & nibbles_match & (key_pos + n_path == key_len)
     leaf_excl = is_pair & is_leaf & ~leaf_found
-    ext_bad = is_pair & ~is_leaf & (n_path == 0)  # empty extension path: malformed
+    ext_bad = is_pair & ~is_leaf & (n_path == 0)  # empty extension path
     ext_excl = is_pair & ~is_leaf & ~nibbles_match
     ext_child = is_pair & ~is_leaf & nibbles_match & ~ext_bad
-    e_cstart = items["i1_start"]
-    e_cpay = items["i1_pay"]
-    e_cplen = items["i1_len"]
-    e_clist = items["i1_list"]
-    bad_node = bad_node | (is_pair & ~hp_ok) | ext_bad
+    bad_node = bad_node | (is_pair & ~pair["hp_ok"]) | ext_bad
 
     # ---- merge child reference (branch child or extension child) ----
     has_child = take_child & ~child_empty | ext_child
-    cstart = jnp.where(take_child, b_cstart, e_cstart)
-    cpay = jnp.where(take_child, b_cpay, e_cpay)
-    cplen = jnp.where(take_child, b_cplen, e_cplen)
-    clist = jnp.where(take_child, b_clist, e_clist)
+    cstart = jnp.where(take_child, items["c_start"], items["i1_start"])
+    cpay = jnp.where(take_child, items["c_pay"], items["i1_pay"])
+    cplen = jnp.where(take_child, items["c_len"], items["i1_len"])
+    clist = jnp.where(take_child, items["c_list"], items["i1_list"])
     child_hash = has_child & ~clist & (cplen == 32)
     child_inline = has_child & clist
     child_bad = has_child & ~clist & (cplen != 32)
 
     # hash-referenced child: locate the node whose digest matches, matching
-    # the reference's hash-keyed proof DB semantics (crypto-ops/src/
-    # lib.rs:10-13 — proof nodes may arrive in ANY order)
+    # the reference's hash-keyed proof DB (order-independent)
+    buf = nodes[node_idx]
     expected = fetch_window_1d(buf, cpay, 32)
     d = digests.shape[0]
     row_match = jnp.all(digests == expected[None, :], axis=1) & (
@@ -144,7 +160,6 @@ def _walk_step(nodes, node_lens, num_nodes, digests, key_nibbles, key_len, carry
             jnp.where(branch_excl | child_empty | leaf_excl | ext_excl, EXCLUDED, RUNNING),
         ),
     )
-    # value span (leaf item 1 payload, or branch item 16 payload)
     found_now = new_status == FOUND
     new_vnode = jnp.where(found_now, node_idx, vnode)
     new_vstart = jnp.where(
@@ -153,7 +168,8 @@ def _walk_step(nodes, node_lens, num_nodes, digests, key_nibbles, key_len, carry
     new_vlen = jnp.where(
         found_now, jnp.where(leaf_found, items["i1_len"], items["i16_len"]), vlen
     )
-    new_key_pos = jnp.where(take_child, key_pos + 1, jnp.where(ext_child, key_pos + n_path, key_pos))
+    new_key_pos = jnp.where(take_child, key_pos + 1,
+                            jnp.where(ext_child, key_pos + n_path, key_pos))
     new_node_idx = jnp.where(child_hash, nxt, node_idx)
     new_off = jnp.where(child_hash, 0, jnp.where(child_inline, cstart, off))
 
@@ -170,15 +186,12 @@ def _walk_step(nodes, node_lens, num_nodes, digests, key_nibbles, key_len, carry
     )
 
 
-def walk_one(nodes, node_lens, num_nodes, digests, root, key_nibbles, key_len,
-             max_value_len: int, max_steps: int | None = None):
-    """Walk a single padded proof. Returns (status, value[max_value_len],
-    value_len). vmapped over the batch by `verify_proofs`."""
-    d = nodes.shape[0]
+def _init_carry(num_nodes, digests, root):
+    """Per-proof init: find the root node by digest (it may sit anywhere in
+    the unordered proof list)."""
+    d = digests.shape[0]
     empty_proof = num_nodes == 0
     root_is_empty = jnp.all(root == jnp.asarray(_EMPTY_ROOT_NP))
-    # the root node may sit anywhere in the (unordered) proof list —
-    # reference semantics: proof DB keyed by hash (crypto-ops/src/lib.rs:14)
     root_match = jnp.all(digests == root[None, :], axis=1) & (
         jnp.arange(d) < num_nodes
     )
@@ -190,23 +203,80 @@ def walk_one(nodes, node_lens, num_nodes, digests, root, key_nibbles, key_len,
         jnp.where(root_ok, RUNNING, INVALID),
     ).astype(jnp.int32)
     zero = jnp.int32(0)
-    carry = (root_idx, zero, zero, status0, zero, zero, zero)
+    return (root_idx, zero, zero, status0, zero, zero, zero)
 
-    step = functools.partial(
-        _walk_step, nodes, node_lens, num_nodes, digests, key_nibbles, key_len
-    )
-    if max_steps is None:
-        max_steps = d + 6  # hashed depth + headroom for nested inline nodes
-    carry = jax.lax.fori_loop(0, max_steps, lambda _, c: step(c), carry)
+
+def _extract_value(nodes, carry, max_value_len: int):
     node_idx, off, key_pos, status, vnode, vstart, vlen = carry
-    status = jnp.where(status == RUNNING, INVALID, status)
-
-    # extract the value span
     val_buf = nodes[vnode]
     idx = jnp.clip(vstart + jnp.arange(max_value_len), 0, val_buf.shape[0] - 1)
     value = jnp.where(jnp.arange(max_value_len) < vlen, val_buf[idx], 0)
     vlen = jnp.where(status == FOUND, vlen, 0)
     return status, value.astype(jnp.uint8), vlen
+
+
+def walk_batch(nodes, node_lens, num_nodes, digests, roots, key_nibbles,
+               key_lens, max_value_len: int, max_steps: int | None = None,
+               conditional: bool = True):
+    """Batched walk over [B, D, N] proofs.
+
+    conditional=True gates the pair-node machinery and whole steps behind
+    scalar lax.cond (wins when max_steps is conservative or pair nodes are
+    rare per step); conditional=False emits straight-line steps (wins ~10%
+    when max_steps is exact, e.g. account-trie buckets)."""
+    b, d, n = nodes.shape
+    if max_steps is None:
+        max_steps = d + 6  # hashed depth + headroom for nested inline nodes
+
+    carry = jax.vmap(_init_carry)(num_nodes, digests, roots)
+    vdecode = jax.vmap(_step_decode, in_axes=(0, 0, 0, 0))
+    vpair = jax.vmap(_step_pair, in_axes=(0, 0, 0, 0, 0, 0, 0, 0))
+    vmerge = jax.vmap(_step_merge, in_axes=(0, 0, 0, 0, 0, 0, 0, 0))
+
+    def pair_zeros():
+        zb = jnp.zeros((b,), jnp.bool_)
+        return {
+            "is_leaf": zb,
+            "hp_ok": jnp.ones((b,), jnp.bool_),
+            "n_path": jnp.zeros((b,), jnp.int32),
+            "match": zb,
+        }
+
+    def step_body(carry):
+        items = vdecode(nodes, node_lens, key_nibbles, carry)
+        run_pair = lambda: vpair(nodes, node_lens, key_nibbles, key_lens, carry,
+                                 items["i0_pay"], items["i0_len"], items["i0_list"])
+        if conditional:
+            live = carry[3] == RUNNING
+            any_pair = jnp.any((items["count"] == 2) & live)
+            pair = jax.lax.cond(any_pair, run_pair, pair_zeros)
+        else:
+            pair = run_pair()
+        return vmerge(nodes, node_lens, num_nodes, digests, key_lens, carry,
+                      items, pair)
+
+    def step(_, carry):
+        if not conditional:
+            return step_body(carry)
+        any_live = jnp.any(carry[3] == RUNNING)
+        return jax.lax.cond(any_live, step_body, lambda c: c, carry)
+
+    carry = jax.lax.fori_loop(0, max_steps, step, carry)
+    status, value, vlen = jax.vmap(
+        lambda nd, c: _extract_value(nd, c, max_value_len)
+    )(nodes, carry)
+    status = jnp.where(status == RUNNING, INVALID, status)
+    return status, value, vlen
+
+
+def walk_one(nodes, node_lens, num_nodes, digests, root, key_nibbles, key_len,
+             max_value_len: int, max_steps: int | None = None):
+    """Single-proof walk (thin wrapper over the batched walker)."""
+    status, value, vlen = walk_batch(
+        nodes[None], node_lens[None], num_nodes[None], digests[None],
+        root[None], key_nibbles[None], key_len[None], max_value_len, max_steps,
+    )
+    return status[0], value[0], vlen[0]
 
 
 def hash_nodes(nodes, node_lens):
@@ -233,12 +303,14 @@ def hash_nodes(nodes, node_lens):
     return digests.reshape(d, b, 32).transpose(1, 0, 2)
 
 
-@functools.partial(jax.jit, static_argnames=("max_value_len", "max_steps"))
+@functools.partial(jax.jit,
+                   static_argnames=("max_value_len", "max_steps", "conditional"))
 def verify_proofs(nodes, node_lens, num_nodes, roots, key_nibbles, key_lens,
-                  max_value_len: int = 128, max_steps: int | None = None):
+                  max_value_len: int = 128, max_steps: int | None = None,
+                  conditional: bool = True):
     """Batched MPT proof verification.
 
-    nodes       u8  [B, D, N]   zero-padded RLP proof nodes, root first
+    nodes       u8  [B, D, N]   zero-padded RLP proof nodes (any order)
     node_lens   i32 [B, D]
     num_nodes   i32 [B]
     roots       u8  [B, 32]     trusted root hashes
@@ -247,13 +319,11 @@ def verify_proofs(nodes, node_lens, num_nodes, roots, key_nibbles, key_lens,
     max_steps: walker trip count; default D + 6 (depth + headroom for
     nested inline nodes). Tries whose values never encode below 32 bytes
     (account tries: leaves >= 70 B) cannot contain inline nodes, so
-    max_steps = D is exact and ~2x faster.
+    max_steps = D is exact; with the any-live early-out the default is
+    nearly as fast.
     Returns (status i32 [B], values u8 [B, max_value_len], value_lens i32 [B]).
     """
     digests = hash_nodes(nodes, node_lens)
-    walker = jax.vmap(
-        lambda nd, nl, nn, dg, rt, kn, kl: walk_one(
-            nd, nl, nn, dg, rt, kn, kl, max_value_len, max_steps
-        )
-    )
-    return walker(nodes, node_lens, num_nodes, digests, roots, key_nibbles, key_lens)
+    return walk_batch(nodes, node_lens, num_nodes, digests, roots,
+                      key_nibbles, key_lens, max_value_len, max_steps,
+                      conditional)

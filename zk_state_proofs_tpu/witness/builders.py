@@ -110,3 +110,39 @@ def get_storage_proof_input(
         storage_keys=slots,
         address_keccak=addr_keccak,
     )
+
+
+def get_all_transaction_proof_inputs(block: dict) -> list:
+    """All tx proofs of a block with ONE trie build (the per-index builder
+    rebuilds per call, reference-style; this is the batch-friendly path)."""
+    txs = block["transactions"]
+    trie = build_transaction_trie(txs)
+    root = trie.root_hash()
+    header_root = _data(block["transactionsRoot"])
+    if root != header_root:
+        raise WitnessError(
+            f"rebuilt tx trie root {root.hex()} != header transactionsRoot "
+            f"{header_root.hex()}"
+        )
+    out = []
+    for i in range(len(txs)):
+        key = rlp.encode_int(i)
+        out.append(MerkleProofInput(proof=trie.get_proof(key), root_hash=root, key=key))
+    return out
+
+
+def get_all_receipt_proof_inputs(block: dict, receipts: list) -> list:
+    """All receipt proofs of a block with ONE trie build."""
+    trie = build_receipt_trie(receipts)
+    root = trie.root_hash()
+    header_root = _data(block["receiptsRoot"])
+    if root != header_root:
+        raise WitnessError(
+            f"rebuilt receipt trie root {root.hex()} != header receiptsRoot "
+            f"{header_root.hex()}"
+        )
+    out = []
+    for i in range(len(receipts)):
+        key = rlp.encode_int(i)
+        out.append(MerkleProofInput(proof=trie.get_proof(key), root_hash=root, key=key))
+    return out

@@ -76,22 +76,36 @@ def bench_verify(batch=4096, iters=20):
          f"found={int((np.asarray(status)==mpt.FOUND).sum())}/{batch}")
     assert (np.asarray(status) == mpt.FOUND).all()
 
-    # every dispatch must be unique (the remote runtime caches duplicate
-    # computations): a device-carried counter is written into the last
-    # padding byte of every node buffer — content changes, results don't
-    # (bytes beyond node_lens are masked out of both hashing and the walk)
+    # every measured iteration must be unique work (the remote runtime caches
+    # duplicate computations): a device-carried counter is written into the
+    # last padding byte of every node buffer — content (and thus every keccak
+    # input) changes, results don't (bytes beyond node_lens are masked out of
+    # both hashing and the walk). Iterations run IN-GRAPH (fori_loop, chained
+    # through the counter and an accumulated status) so the measurement is
+    # device throughput, not per-dispatch relay latency — profiled: the axon
+    # tunnel adds ~1.1 ms per dispatch on top of ~6.1 ms device time.
+    K_INNER = 16
+
     @jax.jit
     def step(nodes, ctr):
-        ctr = ctr + 1
-        perturbed = nodes.at[:, :, -1].set(ctr.astype(jnp.uint8))
-        s, v, l = fn(perturbed, *args[1:])
-        return s, ctr
+        def body(_, carry):
+            ctr, acc = carry
+            ctr = ctr + 1
+            perturbed = nodes.at[:, :, -1].set(ctr.astype(jnp.uint8))
+            s, v, l = fn(perturbed, *args[1:])
+            return ctr, acc + s
+        ctr, acc = jax.lax.fori_loop(
+            0, K_INNER, body, (ctr, jnp.zeros((nodes.shape[0],), jnp.int32)))
+        return acc, ctr
 
     nodes = args[0]
     ctr0 = jnp.zeros((), jnp.int32)
-    s, ctr = step(nodes, ctr0)
-    jax.block_until_ready(s)
-    assert (np.asarray(s) == mpt.FOUND).all(), "perturbed padding changed results"
+    t0 = time.time()
+    acc, ctr = step(nodes, ctr0)
+    jax.block_until_ready(acc)
+    _log(f"iterated-step compile+1st: {time.time()-t0:.1f}s")
+    assert (np.asarray(acc) == K_INNER * mpt.FOUND).all(), \
+        "perturbed padding changed results"
     best = float("inf")
     for rep in range(3):
         t0 = time.time()
@@ -99,7 +113,7 @@ def bench_verify(batch=4096, iters=20):
         for _ in range(iters):
             out, ctr = step(nodes, ctr)
         jax.block_until_ready(out)
-        dt = (time.time() - t0) / iters
+        dt = (time.time() - t0) / (iters * K_INNER)
         best = min(best, dt)
         _log(f"rep{rep}: {dt*1e3:.2f} ms/batch -> {batch/dt:,.0f} proofs/s")
     return batch / best
@@ -115,22 +129,28 @@ def bench_keccak(batch=1 << 17, length=100, iters=32):
     rng = np.random.default_rng(0)
     data = jnp.asarray(rng.integers(0, 256, (batch, length), dtype=np.uint8))
 
+    K_INNER = 16
+
     @jax.jit
     def step(d, ctr):
-        ctr = ctr + 1
-        out = keccak256_tpu(d.at[:, -1].set(ctr.astype(jnp.uint8)))
-        return out, ctr
+        def body(_, carry):
+            ctr, acc = carry
+            ctr = ctr + 1
+            out = keccak256_tpu(d.at[:, -1].set(ctr.astype(jnp.uint8)))
+            return ctr, acc ^ out[:, 0].astype(jnp.int32)
+        return jax.lax.fori_loop(
+            0, K_INNER, body, (ctr, jnp.zeros((d.shape[0],), jnp.int32)))
 
     ctr = jnp.zeros((), jnp.int32)
-    out, ctr = step(data, ctr)
-    jax.block_until_ready(out)
+    ctr, acc = step(data, ctr)
+    jax.block_until_ready(acc)
     best = float("inf")
     for _ in range(2):
         t0 = time.time()
-        for _ in range(iters):
-            out, ctr = step(data, ctr)
-        jax.block_until_ready(out)
-        best = min(best, (time.time() - t0) / iters)
+        for _ in range(max(1, iters // K_INNER)):
+            ctr, acc = step(data, ctr)
+        jax.block_until_ready(acc)
+        best = min(best, (time.time() - t0) / (max(1, iters // K_INNER) * K_INNER))
     rate = batch / best
     _log(f"keccak diag: {best*1e3:.2f} ms / {batch} single-block msgs "
          f"-> {rate/1e6:.1f} M hashes/sec/chip")

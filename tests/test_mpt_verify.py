@@ -179,3 +179,35 @@ def test_shuffled_proof_order():
     for i, k in enumerate(keys):
         assert status[i] == mpt.FOUND, i
         assert bytes(values[i][: vlens[i]]) == kvs[k]
+
+
+def test_fetch_primitives_match_numpy():
+    """fetch_window and fetch_packed vs a numpy oracle, incl. widths with
+    width % 4 in {2, 3} at every pos % 4 (regression: fetch_window used one
+    word too few, zeroing the final byte when pos % 4 == 3)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from zk_state_proofs_tpu.ops.select import (fetch_packed, fetch_window,
+                                                make_word_table)
+
+    rng = np.random.default_rng(7)
+    B, N = 64, 96
+    buf = rng.integers(0, 256, (B, N), dtype=np.uint8)
+    pos = np.arange(B, dtype=np.int32) % (N + 8)  # covers every pos%4 + OOB
+    table = jax.jit(make_word_table)(jnp.asarray(buf))
+    for w in (4, 7, 10, 32, 34, 64):
+        want = np.zeros((B, w), np.int32)
+        for i in range(B):
+            p = min(int(pos[i]), N - 1)
+            span = buf[i, p:p + w]
+            want[i, :len(span)] = span
+        got_w = np.asarray(jax.jit(
+            lambda b, p, w=w: fetch_window(b, p, w))(jnp.asarray(buf),
+                                                     jnp.asarray(pos)))
+        np.testing.assert_array_equal(got_w.astype(np.int32), want)
+        if w <= 5:  # fetch_packed covers header-sized windows only
+            got_p = np.asarray(jax.jit(
+                lambda t, p, w=w: fetch_packed(t, p, w))(table,
+                                                         jnp.asarray(pos)))
+            np.testing.assert_array_equal(got_p, want)

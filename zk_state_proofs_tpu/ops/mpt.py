@@ -12,7 +12,14 @@ it delegates to. Instead of a recursive DB walk, verification is
   proof rows (the reference's hash-keyed DB semantics — node order never
   matters, crypto-ops/src/lib.rs:10-14), decoding branch/extension/leaf
   structure with the fixed-shape RLP decoder, and consuming key nibbles.
-  All dynamic byte access is gather-free (ops/select.py one-hot matmuls).
+
+The walker is natively batched (no vmap): every per-step quantity is a [B]
+vector, and all dynamic byte access goes through ONE packed-word table per
+step (select.make_word_table) so each fetch is a single f32 one-hot
+contraction on the MXU — TPU has no vector gather, and this formulation
+keeps the step's intermediates small enough to live in VMEM. The 17
+sequential header parses per node are irreducible (RLP items are
+length-prefixed chains) but cost one tiny contraction each.
 
 The batched step is conditioned at two levels (scalar lax.cond, so skipped
 work costs nothing at runtime): the extension/leaf hex-prefix machinery
@@ -45,9 +52,8 @@ import jax
 import jax.numpy as jnp
 
 from ..oracle.trie import EMPTY_ROOT
-from .rlp import (bytes_to_nibbles_device, decode_node_select, item_head,
-                  node_items, read_bytes32)
-from .select import fetch_window_1d
+from .rlp import bytes_to_nibbles_device, decode_node_select
+from .select import fetch_window, make_word_table
 
 # status codes (per proof)
 RUNNING = 0
@@ -58,29 +64,16 @@ INVALID = 3
 _EMPTY_ROOT_NP = np.frombuffer(EMPTY_ROOT, dtype=np.uint8)
 
 
-def _step_decode(nodes, node_lens, key_nibbles, carry):
-    """Per-proof: fetch current node, decode items, select the child slot.
-    Cheap path — runs every step for every proof."""
-    node_idx, off, key_pos = carry[0], carry[1], carry[2]
-    buf = nodes[node_idx]
-    buf_len = node_lens[node_idx]
-    # next key nibble via masked sum (the full key window is only needed on
-    # pair-node steps and is fetched there)
-    kn = key_nibbles.astype(jnp.int32)
-    c = jnp.sum(jnp.where(jnp.arange(kn.shape[0]) == key_pos, kn, 0))
-    return decode_node_select(buf, off, buf_len, c)
-
-
-def _step_pair(nodes, node_lens, key_nibbles, key_len, carry, p0s, p0l, p0list):
-    """Per-proof extension/leaf machinery: hex-prefix decode + nibble-path
-    comparison. Expensive (two wide window fetches) — executed under a
-    scalar cond only when some live proof is on a 2-item node."""
-    node_idx, key_pos = carry[0], carry[2]
-    buf = nodes[node_idx]
-    maxnib = key_nibbles.shape[0]
-    path_window = fetch_window_1d(buf, p0s, maxnib // 2 + 2)
-    wnib = bytes_to_nibbles_device(path_window).astype(jnp.int32)
-    b0 = path_window[0].astype(jnp.int32)
+def _step_pair(buf, key_nibbles, key_lens, key_pos, p0s, p0l, p0list):
+    """Extension/leaf machinery for the whole batch: hex-prefix decode +
+    nibble-path comparison. Two wide window fetches (`fetch_window`: wide
+    windows lower better through its two-stage form than through multi-row
+    packed contractions) — executed under a scalar cond when `conditional`,
+    since only steps where some live proof sits on a 2-item node need it."""
+    maxnib = key_nibbles.shape[1]
+    path_window = fetch_window(buf, p0s, maxnib // 2 + 2).astype(jnp.int32)
+    wnib = bytes_to_nibbles_device(path_window)
+    b0 = path_window[:, 0]
     flag = b0 >> 4
     is_leaf = flag >= 2
     odd = flag & 1
@@ -88,11 +81,13 @@ def _step_pair(nodes, node_lens, key_nibbles, key_len, carry, p0s, p0l, p0list):
     n_path = 2 * (p0l - 1) + odd
     # path nibble j lives at global nibble index j + (2 - odd); odd has only
     # two values, so select between two static slices instead of gathering
-    path_nib = jnp.where(odd == 1, wnib[1 : maxnib + 1], wnib[2 : maxnib + 2])
-    key_nib = fetch_window_1d(key_nibbles, key_pos, maxnib).astype(jnp.int32)
-    j = jnp.arange(maxnib)
-    within_key = key_pos + n_path <= key_len
-    match = jnp.all((j >= n_path) | (path_nib == key_nib)) & within_key
+    path_nib = jnp.where((odd == 1)[:, None], wnib[:, 1:maxnib + 1],
+                         wnib[:, 2:maxnib + 2])
+    key_nib = fetch_window(key_nibbles, key_pos, maxnib).astype(jnp.int32)
+    j = jnp.arange(maxnib)[None, :]
+    within_key = key_pos + n_path <= key_lens
+    match = jnp.all((j >= n_path[:, None]) | (path_nib == key_nib),
+                    axis=1) & within_key
     return {
         "is_leaf": is_leaf,
         "hp_ok": hp_ok,
@@ -101,8 +96,17 @@ def _step_pair(nodes, node_lens, key_nibbles, key_len, carry, p0s, p0l, p0list):
     }
 
 
-def _step_merge(nodes, node_lens, num_nodes, digests, key_len, carry, items, pair):
-    """Per-proof: resolve the transition from decode + pair outputs."""
+def _pair_zeros(b):
+    return {
+        "is_leaf": jnp.zeros((b,), jnp.bool_),
+        "hp_ok": jnp.ones((b,), jnp.bool_),
+        "n_path": jnp.zeros((b,), jnp.int32),
+        "match": jnp.zeros((b,), jnp.bool_),
+    }
+
+
+def _step_merge(buf, num_nodes, digests, key_lens, carry, items, pair):
+    """Resolve the batch's transitions from decode + pair outputs."""
     node_idx, off, key_pos, status, vnode, vstart, vlen = carry
 
     is_branch = items["count"] == 17
@@ -110,7 +114,7 @@ def _step_merge(nodes, node_lens, num_nodes, digests, key_len, carry, items, pai
     bad_node = ~items["well_formed"] | (~is_branch & ~is_pair)
 
     # ---- branch node ----
-    key_exhausted = key_pos >= key_len
+    key_exhausted = key_pos >= key_lens
     bval_len = items["i16_len"]
     branch_found = is_branch & key_exhausted & (bval_len > 0)
     branch_excl = is_branch & key_exhausted & (bval_len == 0)
@@ -121,7 +125,7 @@ def _step_merge(nodes, node_lens, num_nodes, digests, key_len, carry, items, pai
     is_leaf = pair["is_leaf"]
     n_path = pair["n_path"]
     nibbles_match = pair["match"]
-    leaf_found = is_pair & is_leaf & nibbles_match & (key_pos + n_path == key_len)
+    leaf_found = is_pair & is_leaf & nibbles_match & (key_pos + n_path == key_lens)
     leaf_excl = is_pair & is_leaf & ~leaf_found
     ext_bad = is_pair & ~is_leaf & (n_path == 0)  # empty extension path
     ext_excl = is_pair & ~is_leaf & ~nibbles_match
@@ -140,14 +144,13 @@ def _step_merge(nodes, node_lens, num_nodes, digests, key_len, carry, items, pai
 
     # hash-referenced child: locate the node whose digest matches, matching
     # the reference's hash-keyed proof DB (order-independent)
-    buf = nodes[node_idx]
-    expected = fetch_window_1d(buf, cpay, 32)
-    d = digests.shape[0]
-    row_match = jnp.all(digests == expected[None, :], axis=1) & (
-        jnp.arange(d) < num_nodes
+    expected = fetch_window(buf, cpay, 32)  # u8 [B, 32]
+    d = digests.shape[1]
+    row_match = jnp.all(digests == expected[:, None, :], axis=2) & (
+        jnp.arange(d)[None, :] < num_nodes[:, None]
     )
-    have_next = jnp.any(row_match)
-    nxt = jnp.argmax(row_match).astype(jnp.int32)
+    have_next = jnp.any(row_match, axis=1)
+    nxt = jnp.argmax(row_match, axis=1).astype(jnp.int32)
     hash_fail = child_hash & ~have_next
 
     # ---- resolve new state ----
@@ -157,16 +160,19 @@ def _step_merge(nodes, node_lens, num_nodes, digests, key_len, carry, items, pai
         jnp.where(
             branch_found | leaf_found,
             FOUND,
-            jnp.where(branch_excl | child_empty | leaf_excl | ext_excl, EXCLUDED, RUNNING),
+            jnp.where(branch_excl | child_empty | leaf_excl | ext_excl,
+                      EXCLUDED, RUNNING),
         ),
     )
     found_now = new_status == FOUND
     new_vnode = jnp.where(found_now, node_idx, vnode)
     new_vstart = jnp.where(
-        found_now, jnp.where(leaf_found, items["i1_pay"], items["i16_pay"]), vstart
+        found_now, jnp.where(leaf_found, items["i1_pay"], items["i16_pay"]),
+        vstart,
     )
     new_vlen = jnp.where(
-        found_now, jnp.where(leaf_found, items["i1_len"], items["i16_len"]), vlen
+        found_now, jnp.where(leaf_found, items["i1_len"], items["i16_len"]),
+        vlen,
     )
     new_key_pos = jnp.where(take_child, key_pos + 1,
                             jnp.where(ext_child, key_pos + n_path, key_pos))
@@ -186,31 +192,33 @@ def _step_merge(nodes, node_lens, num_nodes, digests, key_len, carry, items, pai
     )
 
 
-def _init_carry(num_nodes, digests, root):
-    """Per-proof init: find the root node by digest (it may sit anywhere in
-    the unordered proof list)."""
-    d = digests.shape[0]
+def _init_carry(num_nodes, digests, roots):
+    """Batched init: find each proof's root node by digest (it may sit
+    anywhere in the unordered proof list)."""
+    b, d = digests.shape[0], digests.shape[1]
     empty_proof = num_nodes == 0
-    root_is_empty = jnp.all(root == jnp.asarray(_EMPTY_ROOT_NP))
-    root_match = jnp.all(digests == root[None, :], axis=1) & (
-        jnp.arange(d) < num_nodes
+    root_is_empty = jnp.all(roots == jnp.asarray(_EMPTY_ROOT_NP)[None, :], axis=1)
+    root_match = jnp.all(digests == roots[:, None, :], axis=2) & (
+        jnp.arange(d)[None, :] < num_nodes[:, None]
     )
-    root_ok = jnp.any(root_match)
-    root_idx = jnp.argmax(root_match).astype(jnp.int32)
+    root_ok = jnp.any(root_match, axis=1)
+    root_idx = jnp.argmax(root_match, axis=1).astype(jnp.int32)
     status0 = jnp.where(
         empty_proof,
         jnp.where(root_is_empty, EXCLUDED, INVALID),
         jnp.where(root_ok, RUNNING, INVALID),
     ).astype(jnp.int32)
-    zero = jnp.int32(0)
+    zero = jnp.zeros((b,), jnp.int32)
     return (root_idx, zero, zero, status0, zero, zero, zero)
 
 
 def _extract_value(nodes, carry, max_value_len: int):
     node_idx, off, key_pos, status, vnode, vstart, vlen = carry
-    val_buf = nodes[vnode]
-    idx = jnp.clip(vstart + jnp.arange(max_value_len), 0, val_buf.shape[0] - 1)
-    value = jnp.where(jnp.arange(max_value_len) < vlen, val_buf[idx], 0)
+    val_buf = jnp.take_along_axis(nodes, vnode[:, None, None], axis=1)[:, 0]
+    idx = jnp.clip(vstart[:, None] + jnp.arange(max_value_len)[None, :], 0,
+                   val_buf.shape[1] - 1)
+    value = jnp.where(jnp.arange(max_value_len)[None, :] < vlen[:, None],
+                      jnp.take_along_axis(val_buf, idx, axis=1), 0)
     vlen = jnp.where(status == FOUND, vlen, 0)
     return status, value.astype(jnp.uint8), vlen
 
@@ -222,38 +230,37 @@ def walk_batch(nodes, node_lens, num_nodes, digests, roots, key_nibbles,
 
     conditional=True gates the pair-node machinery and whole steps behind
     scalar lax.cond (wins when max_steps is conservative or pair nodes are
-    rare per step); conditional=False emits straight-line steps (wins ~10%
-    when max_steps is exact, e.g. account-trie buckets)."""
+    rare per step); conditional=False emits straight-line steps (wins
+    slightly when max_steps is exact, e.g. account-trie buckets)."""
     b, d, n = nodes.shape
     if max_steps is None:
         max_steps = d + 6  # hashed depth + headroom for nested inline nodes
 
-    carry = jax.vmap(_init_carry)(num_nodes, digests, roots)
-    vdecode = jax.vmap(_step_decode, in_axes=(0, 0, 0, 0))
-    vpair = jax.vmap(_step_pair, in_axes=(0, 0, 0, 0, 0, 0, 0, 0))
-    vmerge = jax.vmap(_step_merge, in_axes=(0, 0, 0, 0, 0, 0, 0, 0))
-
-    def pair_zeros():
-        zb = jnp.zeros((b,), jnp.bool_)
-        return {
-            "is_leaf": zb,
-            "hp_ok": jnp.ones((b,), jnp.bool_),
-            "n_path": jnp.zeros((b,), jnp.int32),
-            "match": zb,
-        }
+    carry = _init_carry(num_nodes, digests, roots)
+    kn32 = key_nibbles.astype(jnp.int32)
+    maxnib = key_nibbles.shape[1]
 
     def step_body(carry):
-        items = vdecode(nodes, node_lens, key_nibbles, carry)
-        run_pair = lambda: vpair(nodes, node_lens, key_nibbles, key_lens, carry,
-                                 items["i0_pay"], items["i0_len"], items["i0_list"])
+        node_idx, off, key_pos = carry[0], carry[1], carry[2]
+        buf = jnp.take_along_axis(nodes, node_idx[:, None, None], axis=1)[:, 0]
+        blen = jnp.take_along_axis(node_lens, node_idx[:, None], axis=1)[:, 0]
+        table = make_word_table(buf)
+        # next key nibble via masked sum (the full key window is only needed
+        # on pair-node steps and is fetched there)
+        c = jnp.sum(jnp.where(jnp.arange(maxnib)[None, :] == key_pos[:, None],
+                              kn32, 0), axis=1)
+        items = decode_node_select(table, off, blen, c)
+        run_pair = lambda: _step_pair(buf, key_nibbles, key_lens, key_pos,
+                                      items["i0_pay"], items["i0_len"],
+                                      items["i0_list"])
         if conditional:
             live = carry[3] == RUNNING
             any_pair = jnp.any((items["count"] == 2) & live)
-            pair = jax.lax.cond(any_pair, run_pair, pair_zeros)
+            pair = jax.lax.cond(any_pair, run_pair, lambda: _pair_zeros(b))
         else:
             pair = run_pair()
-        return vmerge(nodes, node_lens, num_nodes, digests, key_lens, carry,
-                      items, pair)
+        return _step_merge(buf, num_nodes, digests, key_lens, carry,
+                           items, pair)
 
     def step(_, carry):
         if not conditional:
@@ -262,9 +269,7 @@ def walk_batch(nodes, node_lens, num_nodes, digests, roots, key_nibbles,
         return jax.lax.cond(any_live, step_body, lambda c: c, carry)
 
     carry = jax.lax.fori_loop(0, max_steps, step, carry)
-    status, value, vlen = jax.vmap(
-        lambda nd, c: _extract_value(nd, c, max_value_len)
-    )(nodes, carry)
+    status, value, vlen = _extract_value(nodes, carry, max_value_len)
     status = jnp.where(status == RUNNING, INVALID, status)
     return status, value, vlen
 

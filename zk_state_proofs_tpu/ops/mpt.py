@@ -329,6 +329,14 @@ def verify_proofs(nodes, node_lens, num_nodes, roots, key_nibbles, key_lens,
     Returns (status i32 [B], values u8 [B, max_value_len], value_lens i32 [B]).
     """
     digests = hash_nodes(nodes, node_lens)
+    if jax.default_backend() == "tpu":
+        # fused single-kernel walk (see mpt_pallas) — `conditional` is a
+        # scheduling hint for the XLA walker only
+        from .mpt_pallas import walk_batch_pallas
+
+        return walk_batch_pallas(nodes, node_lens, num_nodes, digests, roots,
+                                 key_nibbles, key_lens, max_value_len,
+                                 max_steps)
     return walk_batch(nodes, node_lens, num_nodes, digests, roots,
                       key_nibbles, key_lens, max_value_len, max_steps,
                       conditional)

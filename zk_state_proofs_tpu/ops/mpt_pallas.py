@@ -1,0 +1,437 @@
+"""Fused Pallas TPU kernel for the MPT proof walk — the speed-of-light path.
+
+The XLA walker (ops/mpt.walk_batch) decomposes each step into ~20 small
+dependent kernels (one per one-hot contraction); at B=4096 that is ~110
+sequential kernel launches whose fixed overheads dominate the walk. This
+kernel runs the ENTIRE walk — root lookup, per-step RLP decode chain,
+hex-prefix compare, digest match, state merge — in ONE kernel instance per
+tile of 1024 proofs, with every per-proof scalar held as an [8, 128] i32
+lane tile and all dynamic byte access done VMEM-locally:
+
+  * window fetches = masked reduces over the node's word axis
+    (TPU has no vector gather; a compare+select+sum over 144 word tiles is
+    the in-kernel equivalent of the XLA one-hot matmul), and
+  * per-lane dynamic window starts = binary shift cascades (log2(P) stages
+    of static row shifts selected per lane), used for the wide windows
+    (hex-prefix path, key window, expected child hash).
+
+Semantics are IDENTICAL to ops/mpt.walk_batch (which remains the reference
+implementation and the non-TPU path) and therefore to the reference's
+`verify_merkle_proof` (reference: crypto-ops/src/lib.rs:8-23): hash-keyed
+order-independent node lookup, inline (<32 B) children walked in place,
+FOUND/EXCLUDED/INVALID status per proof.
+
+Value extraction stays outside the kernel: it returns (status, value_node,
+value_start, value_len) and the caller slices value bytes from the original
+node buffers.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..oracle.trie import EMPTY_ROOT
+from . import mpt as mpt_ref
+
+TILE_SUB = 8
+TILE_LANE = 128
+TILE = TILE_SUB * TILE_LANE
+
+_EMPTY_ROOT_WORDS = [
+    int(np.int32(np.uint32(int.from_bytes(EMPTY_ROOT[4 * i:4 * i + 4], "big"))))
+    for i in range(8)
+]
+
+
+def _i32(x):
+    return x.astype(jnp.int32)
+
+
+def _bytes_of_word(w):
+    return ((w >> 24) & 255, (w >> 16) & 255, (w >> 8) & 255, w & 255)
+
+
+def _align4(r, b8):
+    """Select bytes r..r+3 from an 8-byte window list (r in 0..3)."""
+    out = []
+    for j in range(4):
+        x = b8[j]
+        for s in (1, 2, 3):
+            x = jnp.where(r == s, b8[j + s], x)
+        out.append(x)
+    return out
+
+
+def _head_fields(b):
+    """RLP item header from 4 lane-tile bytes (mirrors rlp.item_head_window)."""
+    b0 = b[0]
+    single = b0 < 0x80
+    long_str = (b0 >= 0xB8) & (b0 <= 0xBF)
+    long_list = b0 >= 0xF8
+    is_list = b0 >= 0xC0
+    lol = jnp.where(long_str, b0 - 0xB7, jnp.where(long_list, b0 - 0xF7, 0))
+    long_len = jnp.where(
+        lol == 1, b[1],
+        jnp.where(lol == 2, (b[1] << 8) | b[2],
+                  (b[1] << 16) | (b[2] << 8) | b[3]))
+    plen = jnp.where(
+        single, 1,
+        jnp.where(long_str | long_list, long_len,
+                  jnp.where(is_list, b0 - 0xC0, b0 - 0x80)))
+    poff = jnp.where(single, 0, 1 + lol)
+    return poff, plen, is_list, lol <= 3
+
+
+def _fetch_word_pair(cur, curs, wp):
+    """Words cur[wp], cur[wp+1] per lane via one masked reduce each.
+    cur/curs: i32 [NW, 8, 128] (curs = cur shifted down one row)."""
+    nw = cur.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (nw, TILE_SUB, TILE_LANE), 0)
+    m = iota == wp[None]
+    w1 = jnp.sum(jnp.where(m, cur, 0), axis=0)
+    w2 = jnp.sum(jnp.where(m, curs, 0), axis=0)
+    return w1, w2
+
+
+def _fetch4(cur, curs, pos):
+    """4 bytes at dynamic per-lane byte position `pos`."""
+    wp = pos >> 2
+    r = pos & 3
+    w1, w2 = _fetch_word_pair(cur, curs, wp)
+    b8 = list(_bytes_of_word(w1)) + list(_bytes_of_word(w2))
+    return _align4(r, b8)
+
+
+def _dyn_window(arr, start_row, out_rows: int):
+    """Binary shift cascade: rows j -> arr[start_row + j] per lane.
+    arr i32 [P, 8, 128], start_row i32 [8, 128] (clamped by caller).
+    Returns [out_rows, 8, 128]; rows past P read as 0."""
+    p = arr.shape[0]
+    nbits = max(1, (p - 1).bit_length())
+    cur = arr
+    zero_row = jnp.zeros((1, TILE_SUB, TILE_LANE), jnp.int32)
+    for b in range(nbits):
+        s = 1 << b
+        if s >= p:
+            shifted = jnp.zeros_like(cur)
+        else:
+            shifted = jnp.concatenate(
+                [cur[s:], jnp.broadcast_to(zero_row, (s, TILE_SUB, TILE_LANE))],
+                axis=0)
+        take = ((start_row >> b) & 1) == 1
+        cur = jnp.where(take[None], shifted, cur)
+    return cur[:out_rows]
+
+
+def _walk_kernel(d: int, nw: int, kn: int, max_steps: int,
+                 words_ref, nlen_ref, nnum_ref, dig_ref, root_ref, knib_ref,
+                 klen_ref, out_ref, cur_ref, curs_ref):
+    RUNNING, FOUND = mpt_ref.RUNNING, mpt_ref.FOUND
+    EXCLUDED, INVALID = mpt_ref.EXCLUDED, mpt_ref.INVALID
+    maxnib = kn
+
+    nnum = nnum_ref[0]
+    klen = klen_ref[0]
+
+    # ---- init: locate the root node by digest ----
+    root_w = [root_ref[0, w] for w in range(8)]
+    dig_w = [[dig_ref[0, dd, w] for w in range(8)] for dd in range(d)]
+
+    def digest_find(expect_w):
+        """(match_any, first_index) of expect over the d digest rows."""
+        found = jnp.zeros((TILE_SUB, TILE_LANE), jnp.bool_)
+        idx = jnp.zeros((TILE_SUB, TILE_LANE), jnp.int32)
+        for dd in range(d):
+            eq = dd < nnum
+            for w in range(8):
+                eq = eq & (dig_w[dd][w] == expect_w[w])
+            hit = eq & ~found
+            idx = jnp.where(hit, dd, idx)
+            found = found | eq
+        return found, idx
+
+    root_ok, root_idx = digest_find(root_w)
+    root_is_empty = jnp.ones((TILE_SUB, TILE_LANE), jnp.bool_)
+    for w in range(8):
+        root_is_empty = root_is_empty & (root_w[w] == _EMPTY_ROOT_WORDS[w])
+    empty_proof = nnum == 0
+    status = jnp.where(
+        empty_proof,
+        jnp.where(root_is_empty, EXCLUDED, INVALID),
+        jnp.where(root_ok, RUNNING, INVALID)).astype(jnp.int32)
+
+    zero = jnp.zeros((TILE_SUB, TILE_LANE), jnp.int32)
+    carry = (root_idx, zero, zero, status, zero, zero, zero)
+
+    def step_body(carry):
+        node_idx, off, key_pos, status, vnode, vstart, vlen = carry
+
+        # materialize the current node's words (+1-row shifted copy)
+        for p in range(nw):
+            w = words_ref[0, 0, p]
+            for dd in range(1, d):
+                w = jnp.where(node_idx == dd, words_ref[0, dd, p], w)
+            cur_ref[p] = w
+        for p in range(nw - 1):
+            curs_ref[p] = cur_ref[p + 1]
+        curs_ref[nw - 1] = zero
+        blen = nlen_ref[0, 0]
+        for dd in range(1, d):
+            blen = jnp.where(node_idx == dd, nlen_ref[0, dd], blen)
+        cur = cur_ref[:]
+        curs = curs_ref[:]
+
+        # next key nibble (masked reduce over the nibble axis)
+        kiota = jax.lax.broadcasted_iota(
+            jnp.int32, (kn, TILE_SUB, TILE_LANE), 0)
+        knibs = knib_ref[0]
+        c_nib = jnp.sum(jnp.where(kiota == key_pos[None], knibs, 0), axis=0)
+
+        # ---- RLP decode chain: node header + up to 17 items ----
+        hb = _fetch4(cur, curs, off)
+        po, plen, is_list, head_ok = _head_fields(hb)
+        ps = off + po
+        end = ps + plen
+        # list-flags carried as i32 0/1: Mosaic rejects where() on i1
+        sel = {
+            "i0_pay": zero, "i0_len": zero, "i0_list": zero,
+            "i1_start": zero, "i1_pay": zero, "i1_len": zero, "i1_list": zero,
+            "i16_pay": zero, "i16_len": zero,
+            "c_start": zero, "c_pay": zero, "c_len": zero, "c_list": zero,
+        }
+        cursor = ps
+        count = zero
+        all_ok = jnp.ones((TILE_SUB, TILE_LANE), jnp.bool_)
+        for i in range(17):
+            ib = _fetch4(cur, curs, cursor)
+            ipo, ipl, ilist, ok = _head_fields(ib)
+            ilist = _i32(ilist)
+            ips = cursor + ipo
+            present = cursor < end
+            if i == 0:
+                sel["i0_pay"], sel["i0_len"], sel["i0_list"] = ips, ipl, ilist
+            if i == 1:
+                sel["i1_start"], sel["i1_pay"] = cursor, ips
+                sel["i1_len"], sel["i1_list"] = ipl, ilist
+            if i == 16:
+                sel["i16_pay"], sel["i16_len"] = ips, ipl
+            if i < 16:
+                hit = present & (c_nib == i)
+                sel["c_start"] = jnp.where(hit, cursor, sel["c_start"])
+                sel["c_pay"] = jnp.where(hit, ips, sel["c_pay"])
+                sel["c_len"] = jnp.where(hit, ipl, sel["c_len"])
+                sel["c_list"] = jnp.where(hit, ilist, sel["c_list"])
+            count = count + _i32(present)
+            all_ok = all_ok & (~present | ok)
+            cursor = jnp.where(present, ips + ipl, cursor)
+        well_formed = is_list & head_ok & (cursor == end) & (end <= blen) & all_ok
+
+        # ---- extension/leaf: hex-prefix decode + nibble compare ----
+        p0s, p0l = sel["i0_pay"], sel["i0_len"]
+        p0list = sel["i0_list"] == 1
+        wp0 = jnp.clip(p0s, 0, nw * 4 - 1) >> 2
+        r0 = jnp.clip(p0s, 0, nw * 4 - 1) & 3
+        n_path_words = maxnib // 8 + 2  # 34-byte window = 9 words + align
+        pwords = _dyn_window(cur, wp0, n_path_words + 1)
+        pbytes_raw = []
+        for p in range(n_path_words + 1):
+            pbytes_raw.extend(_bytes_of_word(pwords[p]))
+        pbytes = []
+        for j in range(maxnib // 2 + 2):
+            x = pbytes_raw[j]
+            for s in (1, 2, 3):
+                x = jnp.where(r0 == s, pbytes_raw[j + s], x)
+            pbytes.append(x)
+        pnibs = []
+        for bb in pbytes:
+            pnibs.append(bb >> 4)
+            pnibs.append(bb & 0x0F)
+        b0 = pbytes[0]
+        flag = b0 >> 4
+        p_is_leaf = flag >= 2
+        odd = flag & 1
+        hp_ok = (~p0list & (p0l >= 1) & (flag <= 3)
+                 & ((odd == 1) | ((b0 & 0x0F) == 0)))
+        n_path = 2 * (p0l - 1) + odd
+        kwin = _dyn_window(knibs, key_pos, maxnib)
+        nib_match = jnp.ones((TILE_SUB, TILE_LANE), jnp.bool_)
+        for j in range(maxnib):
+            pn = jnp.where(odd == 1, pnibs[1 + j], pnibs[2 + j])
+            nib_match = nib_match & ((j >= n_path) | (pn == kwin[j]))
+        within_key = key_pos + n_path <= klen
+        p_match = nib_match & within_key
+
+        # ---- merge (mirrors mpt._step_merge) ----
+        is_branch = count == 17
+        is_pair = count == 2
+        bad_node = ~well_formed | (~is_branch & ~is_pair)
+        key_exhausted = key_pos >= klen
+        bval_len = sel["i16_len"]
+        branch_found = is_branch & key_exhausted & (bval_len > 0)
+        branch_excl = is_branch & key_exhausted & (bval_len == 0)
+        take_child = is_branch & ~key_exhausted
+        child_empty = take_child & (sel["c_list"] == 0) & (sel["c_len"] == 0)
+        leaf_found = (is_pair & p_is_leaf & p_match
+                      & (key_pos + n_path == klen))
+        leaf_excl = is_pair & p_is_leaf & ~leaf_found
+        ext_bad = is_pair & ~p_is_leaf & (n_path == 0)
+        ext_excl = is_pair & ~p_is_leaf & ~p_match
+        ext_child = is_pair & ~p_is_leaf & p_match & ~ext_bad
+        bad_node = bad_node | (is_pair & ~hp_ok) | ext_bad
+        has_child = take_child & ~child_empty | ext_child
+        cstart = jnp.where(take_child, sel["c_start"], sel["i1_start"])
+        cpay = jnp.where(take_child, sel["c_pay"], sel["i1_pay"])
+        cplen = jnp.where(take_child, sel["c_len"], sel["i1_len"])
+        clist = jnp.where(take_child, sel["c_list"], sel["i1_list"])
+        child_hash = has_child & (clist == 0) & (cplen == 32)
+        child_inline = has_child & (clist == 1)
+        child_bad = has_child & (clist == 0) & (cplen != 32)
+
+        # expected child hash: 32 bytes at cpay -> 8 big-endian words
+        cp = jnp.clip(cpay, 0, nw * 4 - 1)
+        ewords = _dyn_window(cur, cp >> 2, 10)
+        ebytes_raw = []
+        for p in range(10):
+            ebytes_raw.extend(_bytes_of_word(ewords[p]))
+        re = cp & 3
+        ew = []
+        for w in range(8):
+            bs = []
+            for j in range(4):
+                x = ebytes_raw[4 * w + j]
+                for s in (1, 2, 3):
+                    x = jnp.where(re == s, ebytes_raw[4 * w + j + s], x)
+                bs.append(x)
+            ew.append((bs[0] << 24) | (bs[1] << 16) | (bs[2] << 8) | bs[3])
+        have_next, nxt = digest_find(ew)
+        hash_fail = child_hash & ~have_next
+
+        new_status = jnp.where(
+            bad_node | child_bad | hash_fail, INVALID,
+            jnp.where(branch_found | leaf_found, FOUND,
+                      jnp.where(branch_excl | child_empty | leaf_excl
+                                | ext_excl, EXCLUDED, RUNNING))).astype(jnp.int32)
+        found_now = new_status == FOUND
+        new_vnode = jnp.where(found_now, node_idx, vnode)
+        new_vstart = jnp.where(
+            found_now, jnp.where(leaf_found, sel["i1_pay"], sel["i16_pay"]),
+            vstart)
+        new_vlen = jnp.where(
+            found_now, jnp.where(leaf_found, sel["i1_len"], sel["i16_len"]),
+            vlen)
+        new_key_pos = jnp.where(take_child, key_pos + 1,
+                                jnp.where(ext_child, key_pos + n_path, key_pos))
+        new_node_idx = jnp.where(child_hash, nxt, node_idx)
+        new_off = jnp.where(child_hash, 0,
+                            jnp.where(child_inline, cstart, off))
+
+        live = status == RUNNING
+        pick = lambda new, old: jnp.where(live, new, old)
+        return (pick(new_node_idx, node_idx), pick(new_off, off),
+                pick(new_key_pos, key_pos), pick(new_status, status),
+                pick(new_vnode, vnode), pick(new_vstart, vstart),
+                pick(new_vlen, vlen))
+
+    def step(_, carry):
+        return step_body(carry)
+
+    carry = jax.lax.fori_loop(0, max_steps, step, carry)
+    status = jnp.where(carry[3] == RUNNING, INVALID, carry[3]).astype(jnp.int32)
+    out_ref[0, 0] = status
+    out_ref[0, 1] = carry[4]
+    out_ref[0, 2] = carry[5]
+    out_ref[0, 3] = carry[6]
+
+
+@functools.partial(jax.jit, static_argnames=("max_steps",))
+def _walk_lanes(words, nlens, nnum, dig, root, knib, klen, *, max_steps: int):
+    """words i32 [Bt, D, NW, 8, 128]; nlens [Bt, D, 8, 128];
+    nnum/klen [Bt, 8, 128]; dig [Bt, D, 8, 8, 128]; root [Bt, 8, 8, 128];
+    knib [Bt, KN, 8, 128]. Returns i32 [Bt, 4, 8, 128]."""
+    bt, d, nw = words.shape[0], words.shape[1], words.shape[2]
+    kn = knib.shape[1]
+    kernel = functools.partial(_walk_kernel, d, nw, kn, max_steps)
+    tile = (TILE_SUB, TILE_LANE)
+    spec = lambda *lead: pl.BlockSpec(
+        (1,) + lead + tile, lambda i: (i,) + (0,) * (len(lead) + 2),
+        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(bt,),
+        in_specs=[
+            spec(d, nw),   # words
+            spec(d),       # nlens
+            spec(),        # nnum
+            spec(d, 8),    # dig
+            spec(8),       # root
+            spec(kn),      # knib
+            spec(),        # klen
+        ],
+        out_specs=spec(4),
+        out_shape=jax.ShapeDtypeStruct((bt, 4, TILE_SUB, TILE_LANE), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((nw, TILE_SUB, TILE_LANE), jnp.int32),  # cur
+            pltpu.VMEM((nw, TILE_SUB, TILE_LANE), jnp.int32),  # curs
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(words, nlens, nnum, dig, root, knib, klen)
+
+
+def _to_words(bytes_arr):
+    """u8 [..., N] -> i32 big-endian words [..., N//4]."""
+    a = bytes_arr.astype(jnp.int32)
+    shp = a.shape[:-1] + (a.shape[-1] // 4, 4)
+    w = a.reshape(shp)
+    return (w[..., 0] << 24) | (w[..., 1] << 16) | (w[..., 2] << 8) | w[..., 3]
+
+
+def _lanes(a, bt):
+    """[B, ...] -> [Bt, ..., 8, 128] (B = bt*1024, lanes innermost)."""
+    rest = a.shape[1:]
+    a = a.reshape((bt, TILE_SUB, TILE_LANE) + rest)
+    order = (0,) + tuple(range(3, 3 + len(rest))) + (1, 2)
+    return a.transpose(order)
+
+
+def walk_batch_pallas(nodes, node_lens, num_nodes, digests, roots,
+                      key_nibbles, key_lens, max_value_len: int,
+                      max_steps: int | None = None):
+    """Drop-in for mpt.walk_batch on TPU (same inputs/outputs)."""
+    b, d, n = nodes.shape
+    if n % 4:
+        nodes = jnp.pad(nodes, ((0, 0), (0, 0), (0, 4 - n % 4)))
+    kn = key_nibbles.shape[1]
+    if max_steps is None:
+        max_steps = d + 6
+    bp = -(-b // TILE) * TILE
+    if bp != b:
+        pad = ((0, bp - b),)
+        nodes = jnp.pad(nodes, pad + ((0, 0), (0, 0)))
+        node_lens = jnp.pad(node_lens, pad + ((0, 0),))
+        num_nodes = jnp.pad(num_nodes, pad)
+        digests = jnp.pad(digests, pad + ((0, 0), (0, 0)))
+        roots = jnp.pad(roots, pad + ((0, 0),))
+        key_nibbles = jnp.pad(key_nibbles, pad + ((0, 0),))
+        key_lens = jnp.pad(key_lens, pad)
+    bt = bp // TILE
+    out = _walk_lanes(
+        _lanes(_to_words(nodes), bt),
+        _lanes(node_lens.astype(jnp.int32), bt),
+        _lanes(num_nodes.astype(jnp.int32), bt),
+        _lanes(_to_words(digests), bt),
+        _lanes(_to_words(roots), bt),
+        _lanes(key_nibbles.astype(jnp.int32), bt),
+        _lanes(key_lens.astype(jnp.int32), bt),
+        max_steps=max_steps,
+    )  # [Bt, 4, 8, 128]
+    out = out.transpose(0, 2, 3, 1).reshape(bp, 4)[:b]
+    status, vnode, vstart, vlen = out[:, 0], out[:, 1], out[:, 2], out[:, 3]
+    carry = (vnode, jnp.zeros_like(vnode), jnp.zeros_like(vnode), status,
+             vnode, vstart, vlen)
+    return mpt_ref._extract_value(nodes[:b, :, :n], carry, max_value_len)

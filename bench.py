@@ -60,18 +60,22 @@ def bench_verify(batch=4096, iters=20):
     _log(f"backend: {jax.default_backend()}  devices: {jax.devices()}")
     t0 = time.time()
     packed = build_witness_batch(batch)
+    pool = packed.pool()
     _log(f"witness build (host oracle): {time.time()-t0:.1f}s  "
-         f"shapes nodes={packed.nodes.shape}")
+         f"shapes nodes={packed.nodes.shape} pool={pool[0].shape}")
 
     args = [jnp.asarray(a) for a in packed.astuple()]
+    pargs = [jnp.asarray(a) for a in pool]
 
     import functools
     # account-trie bucket: leaves are >= 70 B so inline nodes cannot occur;
-    # the walk needs exactly max_nodes steps
-    fn = functools.partial(mpt.verify_proofs, max_value_len=128,
+    # the walk needs exactly max_nodes steps. Hashing is deduplicated over
+    # the batch's unique-node pool (verify_proofs_pooled) — every hash link
+    # is still checked per proof.
+    fn = functools.partial(mpt.verify_proofs_pooled, max_value_len=128,
                            max_steps=packed.nodes.shape[1], conditional=False)
     t0 = time.time()
-    status, values, vlens = jax.block_until_ready(fn(*args))
+    status, values, vlens = jax.block_until_ready(fn(*args, *pargs))
     _log(f"compile+first run: {time.time()-t0:.1f}s  "
          f"found={int((np.asarray(status)==mpt.FOUND).sum())}/{batch}")
     assert (np.asarray(status) == mpt.FOUND).all()
@@ -87,21 +91,22 @@ def bench_verify(batch=4096, iters=20):
     K_INNER = 16
 
     @jax.jit
-    def step(nodes, ctr):
+    def step(nodes, pool_nodes, ctr):
         def body(_, carry):
             ctr, acc = carry
             ctr = ctr + 1
             perturbed = nodes.at[:, :, -1].set(ctr.astype(jnp.uint8))
-            s, v, l = fn(perturbed, *args[1:])
+            ppool = pool_nodes.at[:, -1].set(ctr.astype(jnp.uint8))
+            s, v, l = fn(perturbed, *args[1:], ppool, *pargs[1:])
             return ctr, acc + s
         ctr, acc = jax.lax.fori_loop(
             0, K_INNER, body, (ctr, jnp.zeros((nodes.shape[0],), jnp.int32)))
         return acc, ctr
 
-    nodes = args[0]
+    nodes, pool_nodes = args[0], pargs[0]
     ctr0 = jnp.zeros((), jnp.int32)
     t0 = time.time()
-    acc, ctr = step(nodes, ctr0)
+    acc, ctr = step(nodes, pool_nodes, ctr0)
     jax.block_until_ready(acc)
     _log(f"iterated-step compile+1st: {time.time()-t0:.1f}s")
     assert (np.asarray(acc) == K_INNER * mpt.FOUND).all(), \
@@ -111,7 +116,7 @@ def bench_verify(batch=4096, iters=20):
         t0 = time.time()
         out = None
         for _ in range(iters):
-            out, ctr = step(nodes, ctr)
+            out, ctr = step(nodes, pool_nodes, ctr)
         jax.block_until_ready(out)
         dt = (time.time() - t0) / (iters * K_INNER)
         best = min(best, dt)

@@ -211,3 +211,38 @@ def test_fetch_primitives_match_numpy():
                 lambda t, p, w=w: fetch_packed(t, p, w))(table,
                                                          jnp.asarray(pos)))
             np.testing.assert_array_equal(got_p, want)
+
+
+def test_pooled_hashing_matches_direct():
+    """verify_proofs_pooled (deduplicated hashing + one-hot digest scatter)
+    is bit-identical to verify_proofs on a mixed batch (found / excluded /
+    invalid / inline nodes)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from zk_state_proofs_tpu.oracle import EthTrie, keccak256, rlp
+    from zk_state_proofs_tpu.ops import mpt
+    from zk_state_proofs_tpu.witness import pack_proofs
+
+    t = EthTrie()
+    keys = []
+    for i in range(60):
+        k = keccak256(b"pool-%d" % i)[:6]
+        t.insert(k, rlp.int_to_min_bytes(i + 1))  # small values -> inline
+        keys.append(k)
+    root = t.root_hash()
+    entries = [(root, t.get_proof(k), k) for k in keys]
+    absent = b"\xee" * 6
+    entries.append((root, t.get_proof(absent), absent))
+    bad = [bytearray(x) for x in t.get_proof(keys[3])]
+    bad[0][4] ^= 0x40
+    entries.append((root, [bytes(x) for x in bad], keys[3]))
+    packed = pack_proofs(entries)
+    args = [jnp.asarray(a) for a in packed.astuple()]
+    pargs = [jnp.asarray(a) for a in packed.pool()]
+    s1, v1, l1 = mpt.verify_proofs(*args)
+    s2, v2, l2 = mpt.verify_proofs_pooled(*args, *pargs)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    # the pool really deduplicates: far fewer unique rows than proof rows
+    assert pargs[0].shape[0] < packed.nodes.shape[0] * packed.nodes.shape[1]

@@ -55,11 +55,20 @@ class VerifyResult:
         }
 
 
-def verify_merkle_batch(packed: PackedProofs, max_value_len: int = 128) -> VerifyResult:
-    """Verify a batch of packed MPT proofs on device."""
-    status, values, vlens = mpt.verify_proofs(
-        *packed.astuple(), max_value_len=max_value_len
-    )
+def verify_merkle_batch(packed: PackedProofs, max_value_len: int = 128,
+                        dedup: bool = True) -> VerifyResult:
+    """Verify a batch of packed MPT proofs on device.
+
+    dedup=True hashes each unique node once (proofs in a batch share trie
+    nodes; see PackedProofs.pool) — identical results, much less keccak."""
+    if dedup:
+        status, values, vlens = mpt.verify_proofs_pooled(
+            *packed.astuple(), *packed.pool(), max_value_len=max_value_len
+        )
+    else:
+        status, values, vlens = mpt.verify_proofs(
+            *packed.astuple(), max_value_len=max_value_len
+        )
     return VerifyResult(np.asarray(status), np.asarray(values), np.asarray(vlens))
 
 

@@ -308,6 +308,59 @@ def hash_nodes(nodes, node_lens):
     return digests.reshape(d, b, 32).transpose(1, 0, 2)
 
 
+def hash_nodes_pooled(pool_nodes, pool_lens, pool_idx):
+    """Phase 1 with deduplicated hashing: digest the unique-node pool once
+    and scatter to the per-proof table. pool_nodes u8 [U, N], pool_lens i32
+    [U], pool_idx i32 [B, D] -> digests u8 [B, D, 32].
+
+    Proof batches share trie nodes heavily (every proof repeats the trie's
+    root/branch prefix), so U << B*D; the scatter is an exact one-hot bf16
+    contraction (digest bytes < 256). Security is unchanged: the walker
+    still checks the keccak link of every step of every proof — equal
+    per-proof bytes simply share one permutation, where the reference
+    re-hashes per proof (crypto-ops/src/lib.rs:10-13).
+    """
+    b, d = pool_idx.shape
+    u = pool_nodes.shape[0]
+    if jax.default_backend() == "tpu":
+        from .keccak_pallas import keccak256_tpu
+
+        pool_dig = keccak256_tpu(pool_nodes, pool_lens)
+    else:
+        from .keccak import keccak256
+
+        pool_dig = keccak256(pool_nodes, pool_lens)
+    onehot = (
+        jnp.arange(u, dtype=jnp.int32)[None, :] == pool_idx.reshape(b * d)[:, None]
+    ).astype(jnp.bfloat16)
+    dig = jax.lax.dot_general(
+        onehot, pool_dig.astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return dig.astype(jnp.uint8).reshape(b, d, 32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("max_value_len", "max_steps", "conditional"))
+def verify_proofs_pooled(nodes, node_lens, num_nodes, roots, key_nibbles,
+                         key_lens, pool_nodes, pool_lens, pool_idx,
+                         max_value_len: int = 128, max_steps: int | None = None,
+                         conditional: bool = True):
+    """`verify_proofs` with deduplicated hashing (see hash_nodes_pooled).
+    The pool is produced by witness packing (PackedProofs.pool())."""
+    digests = hash_nodes_pooled(pool_nodes, pool_lens, pool_idx)
+    if jax.default_backend() == "tpu":
+        from .mpt_pallas import walk_batch_pallas
+
+        return walk_batch_pallas(nodes, node_lens, num_nodes, digests, roots,
+                                 key_nibbles, key_lens, max_value_len,
+                                 max_steps)
+    return walk_batch(nodes, node_lens, num_nodes, digests, roots,
+                      key_nibbles, key_lens, max_value_len, max_steps,
+                      conditional)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("max_value_len", "max_steps", "conditional"))
 def verify_proofs(nodes, node_lens, num_nodes, roots, key_nibbles, key_lens,

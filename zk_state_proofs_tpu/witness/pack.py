@@ -20,7 +20,17 @@ DEFAULT_KEY_NIBBLES = 64  # 32-byte keys (account/storage tries)
 
 @dataclass
 class PackedProofs:
-    """A batch of padded MPT proofs (numpy, ready for device put)."""
+    """A batch of padded MPT proofs (numpy, ready for device put).
+
+    The optional node POOL deduplicates hashing: proofs in one batch share
+    trie nodes (every account proof repeats the same root/branch prefix —
+    a 4096-proof batch over a 512-account trie has ~45x fewer unique nodes
+    than proof rows), so the device hashes `pool_nodes` once and scatters
+    digests back to the [B, D] per-proof table. The reference re-hashes
+    every node per proof (crypto-ops/src/lib.rs:10-13); the walk itself
+    still checks every per-proof hash link, so verification strength is
+    unchanged.
+    """
 
     nodes: np.ndarray       # u8  [B, D, N]
     node_lens: np.ndarray   # i32 [B, D]
@@ -28,6 +38,9 @@ class PackedProofs:
     roots: np.ndarray       # u8  [B, 32]
     key_nibbles: np.ndarray  # u8 [B, K]
     key_lens: np.ndarray    # i32 [B]
+    pool_nodes: np.ndarray | None = None  # u8  [U, N] unique node bytes
+    pool_lens: np.ndarray | None = None   # i32 [U]
+    pool_idx: np.ndarray | None = None    # i32 [B, D] row -> pool row
 
     @property
     def batch(self) -> int:
@@ -43,14 +56,27 @@ class PackedProofs:
             self.key_lens,
         )
 
+    def pool(self):
+        """(pool_nodes, pool_lens, pool_idx), building them on first use."""
+        if self.pool_nodes is None:
+            self.pool_nodes, self.pool_lens, self.pool_idx = build_node_pool(
+                self.nodes, self.node_lens, self.num_nodes
+            )
+        return self.pool_nodes, self.pool_lens, self.pool_idx
+
     # -- disk cache (the framework's checkpoint/resume analog: packed
     # witness tensors persist so sweeps resume without re-fetching/packing,
     # SURVEY.md §5 checkpoint/resume) --
     def save(self, path) -> None:
+        extra = {}
+        if self.pool_nodes is not None:
+            extra = {"pool_nodes": self.pool_nodes, "pool_lens": self.pool_lens,
+                     "pool_idx": self.pool_idx}
         np.savez_compressed(
             path,
             nodes=self.nodes, node_lens=self.node_lens, num_nodes=self.num_nodes,
             roots=self.roots, key_nibbles=self.key_nibbles, key_lens=self.key_lens,
+            **extra,
         )
 
     @classmethod
@@ -59,7 +85,40 @@ class PackedProofs:
             return cls(
                 nodes=z["nodes"], node_lens=z["node_lens"], num_nodes=z["num_nodes"],
                 roots=z["roots"], key_nibbles=z["key_nibbles"], key_lens=z["key_lens"],
+                pool_nodes=z["pool_nodes"] if "pool_nodes" in z else None,
+                pool_lens=z["pool_lens"] if "pool_lens" in z else None,
+                pool_idx=z["pool_idx"] if "pool_idx" in z else None,
             )
+
+
+def build_node_pool(nodes, node_lens, num_nodes, pad_multiple: int = 128):
+    """Deduplicate proof-node rows into a pool for single-pass hashing.
+
+    Returns (pool_nodes u8 [U, N], pool_lens i32 [U], pool_idx i32 [B, D])
+    with U padded to `pad_multiple` (pool row 0 is always the zero row, so
+    padding rows and rows past num_nodes scatter a harmless digest).
+    """
+    b, d, n = nodes.shape
+    seen = {b"": 0}
+    pool = [np.zeros(n, np.uint8)]
+    lens = [0]
+    idx = np.zeros((b, d), np.int32)
+    for i in range(b):
+        for j in range(int(num_nodes[i])):
+            key = nodes[i, j, : node_lens[i, j]].tobytes()
+            at = seen.get(key)
+            if at is None:
+                at = len(pool)
+                seen[key] = at
+                pool.append(nodes[i, j])
+                lens.append(int(node_lens[i, j]))
+            idx[i, j] = at
+    u = -(-len(pool) // pad_multiple) * pad_multiple
+    pool_nodes = np.zeros((u, n), np.uint8)
+    pool_nodes[: len(pool)] = np.stack(pool)
+    pool_lens = np.zeros(u, np.int32)
+    pool_lens[: len(lens)] = lens
+    return pool_nodes, pool_lens, idx
 
 
 def pack_proofs(

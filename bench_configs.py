@@ -122,17 +122,46 @@ def config4_mixed_batch(quick):
     while len(entries) < total:
         inp = tx_inputs[len(entries) % 32]
         entries.append(inp.as_entry())
-    packed = pack_proofs(entries)
-    t0 = time.time()
-    status = np.asarray(mpt.verify_proofs(*packed.astuple())[0])
-    compile_dt = time.time() - t0
-    t0 = time.time()
-    reps = 5
-    for _ in range(reps):
-        status = mpt.verify_proofs(*packed.astuple())[0]
-    status = np.asarray(status)
-    dt = (time.time() - t0) / reps
+    # +4 bytes of bucket padding so the perturbation byte below always lands
+    # beyond every node's real bytes
+    max_node = max(len(n) for _, p, _ in entries for n in p)
+    packed = pack_proofs(entries, node_len=max_node + 4)
+    args = packed.astuple()
+    pargs = packed.pool()
+    status = np.asarray(mpt.verify_proofs_pooled(*args, *pargs)[0])
     ok = (status == mpt.FOUND).all()
+
+    # throughput: in-graph iterations on genuinely distinct inputs (the
+    # remote runtime caches duplicate dispatches; per-dispatch timing
+    # measures the tunnel) — same methodology as bench.py
+    import jax
+    import jax.numpy as jnp
+
+    jargs = [jnp.asarray(a) for a in args]
+    jpargs = [jnp.asarray(a) for a in pargs]
+    K = 8
+
+    @jax.jit
+    def step(ctr):
+        def body(_, carry):
+            ctr, acc = carry
+            ctr = ctr + 1
+            pn = jargs[0].at[:, :, -1].set(ctr.astype(jnp.uint8))
+            pp = jpargs[0].at[:, -1].set(ctr.astype(jnp.uint8))
+            s, _, _ = mpt.verify_proofs_pooled(pn, *jargs[1:], pp, *jpargs[1:])
+            return ctr, acc + s
+        return jax.lax.fori_loop(
+            0, K, body, (ctr, jnp.zeros((total,), jnp.int32)))
+
+    ctr, acc = step(jnp.zeros((), jnp.int32))
+    jax.block_until_ready(acc)
+    t0 = time.time()
+    reps = 4
+    for _ in range(reps):
+        ctr, acc = step(ctr)
+    jax.block_until_ready(acc)
+    dt = (time.time() - t0) / (reps * K)
+    ok = ok and (np.asarray(acc) == K * mpt.FOUND).all()
     _emit("mixed_batch_4096", ok=bool(ok), batch=total,
           proofs_per_sec=round(total / dt, 1), seconds=round(dt, 4))
     return ok

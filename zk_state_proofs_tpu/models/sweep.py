@@ -46,10 +46,14 @@ def sweep(batches, mesh=None, max_value_len: int = 128, max_steps=None,
 
         fn = make_sharded_verifier(mesh, max_value_len=max_value_len)
     else:
-        # mpt.verify_proofs is already jitted; calling it directly reuses
-        # its global trace cache across sweep() invocations
+        # mpt.verify_proofs[_pooled] is already jitted; calling it directly
+        # reuses its global trace cache across sweep() invocations
         fn = functools.partial(
             mpt.verify_proofs, max_value_len=max_value_len, max_steps=max_steps
+        )
+        fn_pooled = functools.partial(
+            mpt.verify_proofs_pooled, max_value_len=max_value_len,
+            max_steps=max_steps
         )
     totals = np.zeros(3, dtype=np.int64)
     total = 0
@@ -60,6 +64,9 @@ def sweep(batches, mesh=None, max_value_len: int = 128, max_steps=None,
             active = np.ones(packed.batch, dtype=np.int32)
             out = fn(*(packed.astuple() + (active,)))
             pending.append((packed.batch, out[3]))  # psum'ed counts
+        elif packed.pool_nodes is not None:
+            status, _, _ = fn_pooled(*packed.astuple(), *packed.pool())
+            pending.append((packed.batch, status))
         else:
             status, _, _ = fn(*packed.astuple())
             pending.append((packed.batch, status))

@@ -49,21 +49,35 @@ def pad_batch(arrays, multiple: int):
     return tuple(out), b
 
 
-def make_sharded_verifier(mesh: Mesh, max_value_len: int = 128):
+def make_sharded_verifier(mesh: Mesh, max_value_len: int = 128,
+                          pooled: bool = False):
     """Build a pjit-ted sharded batch verifier over `mesh`.
 
     Returns fn(nodes, node_lens, num_nodes, roots, key_nibbles, key_lens) ->
     (status [B], values [B, V], value_lens [B], global_counts [3]) with the
     batch axis sharded over the mesh and counts psum-reduced across shards.
+
+    pooled=True appends (pool_nodes, pool_lens, pool_idx) inputs: the
+    unique-node pool is REPLICATED across devices (proofs on every shard
+    reference the same trie's nodes) while proofs stay batch-sharded —
+    each device hashes the pool once instead of re-hashing its shard's
+    node rows (see witness.pack.build_node_pool).
     """
     axis = mesh.axis_names[0]
     spec_b = P(axis)
 
-    def _shard_fn(nodes, node_lens, num_nodes, roots, key_nibbles, key_lens, active):
-        status, values, vlens = mpt.verify_proofs(
-            nodes, node_lens, num_nodes, roots, key_nibbles, key_lens,
-            max_value_len=max_value_len,
-        )
+    def _shard_fn(nodes, node_lens, num_nodes, roots, key_nibbles, key_lens,
+                  active, *pool):
+        if pooled:
+            status, values, vlens = mpt.verify_proofs_pooled(
+                nodes, node_lens, num_nodes, roots, key_nibbles, key_lens,
+                *pool, max_value_len=max_value_len,
+            )
+        else:
+            status, values, vlens = mpt.verify_proofs(
+                nodes, node_lens, num_nodes, roots, key_nibbles, key_lens,
+                max_value_len=max_value_len,
+            )
         live = active > 0  # padding rows don't pollute the global stats
         local_counts = jnp.stack(
             [
@@ -75,25 +89,38 @@ def make_sharded_verifier(mesh: Mesh, max_value_len: int = 128):
         counts = jax.lax.psum(local_counts, axis)
         return status, values, vlens, counts
 
+    in_specs = (spec_b,) * 7
+    if pooled:
+        in_specs += (P(), P(), spec_b)  # pool replicated, row->pool idx sharded
     sharded = shard_map(
         _shard_fn,
         mesh=mesh,
-        in_specs=(spec_b,) * 7,
+        in_specs=in_specs,
         out_specs=(spec_b, spec_b, spec_b, P()),
         check_vma=False,
     )
     return jax.jit(sharded)
 
 
-def verify_proofs_sharded(mesh: Mesh, packed, max_value_len: int = 128):
+def verify_proofs_sharded(mesh: Mesh, packed, max_value_len: int = 128,
+                          dedup: bool = True):
     """Convenience wrapper: pad the batch to the mesh size, shard, verify,
-    slice back. `packed` is a witness.PackedProofs."""
+    slice back. `packed` is a witness.PackedProofs. dedup=True hashes the
+    (replicated) unique-node pool once per device."""
     n = mesh.devices.size
     b = packed.batch
     active = np.ones(b, dtype=np.int32)
-    arrays, b = pad_batch(packed.astuple() + (active,), n)
-    fn = make_sharded_verifier(mesh, max_value_len=max_value_len)
-    status, values, vlens, counts = fn(*arrays)
+    if dedup:
+        pool_nodes, pool_lens, pool_idx = packed.pool()
+        arrays, b = pad_batch(packed.astuple() + (active, pool_idx), n)
+        fn = make_sharded_verifier(mesh, max_value_len=max_value_len,
+                                   pooled=True)
+        status, values, vlens, counts = fn(
+            *arrays[:-1], pool_nodes, pool_lens, arrays[-1])
+    else:
+        arrays, b = pad_batch(packed.astuple() + (active,), n)
+        fn = make_sharded_verifier(mesh, max_value_len=max_value_len)
+        status, values, vlens, counts = fn(*arrays)
     return (
         np.asarray(status)[:b],
         np.asarray(values)[:b],

@@ -339,7 +339,11 @@ def _walk_kernel(d: int, nw: int, kn: int, max_steps: int,
                 pick(new_vlen, vlen))
 
     def step(_, carry):
-        return step_body(carry)
+        # whole-tile early exit: once every proof in the tile has resolved,
+        # remaining steps are no-ops (proof depths vary; default max_steps
+        # carries headroom for nested inline nodes)
+        any_live = jnp.any(carry[3] == RUNNING)
+        return jax.lax.cond(any_live, step_body, lambda c: c, carry)
 
     carry = jax.lax.fori_loop(0, max_steps, step, carry)
     status = jnp.where(carry[3] == RUNNING, INVALID, carry[3]).astype(jnp.int32)

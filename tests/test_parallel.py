@@ -66,3 +66,35 @@ def test_sharded_trie_root_matches_oracle():
     assert plan.levels[0].templates.shape[0] >= 8 * 8
     root, _ = compute_root_sharded(mesh, plan)
     assert bytes(root) == want
+
+
+def test_sharded_pooled_sweep_matches_unsharded():
+    """sweep(mesh=..., dedup=True) routes through the pooled sharded
+    verifier; counts must match the unsharded pooled path, and the
+    memoized builder must not re-jit on repeated sweeps."""
+    from zk_state_proofs_tpu.models import replicated_batches, sweep
+    from zk_state_proofs_tpu.parallel.mesh import make_sharded_verifier
+
+    t = EthTrie()
+    keys = [keccak256(b"sw%d" % i) for i in range(64)]
+    for i, k in enumerate(keys):
+        t.insert(k, bytes([i % 250 + 1]) * 40)
+    root = t.root_hash()
+    entries = [(root, t.get_proof(keys[i % 64]), keys[i % 64])
+               for i in range(128)]
+    entries[-1] = (root, t.get_proof(keccak256(b"absent")), keccak256(b"absent"))
+    packed = pack_proofs(entries)
+
+    mesh = make_mesh()
+    res_sharded = sweep(replicated_batches(packed, 2), mesh=mesh)
+    res_plain = sweep(replicated_batches(packed, 2))
+    assert (res_sharded.found, res_sharded.excluded, res_sharded.invalid) == \
+        (res_plain.found, res_plain.excluded, res_plain.invalid)
+    assert res_sharded.found == 2 * 127 and res_sharded.excluded == 2
+
+    # memoization: a second sweep must reuse the cached verifier (no re-jit)
+    hits0 = make_sharded_verifier.cache_info().hits
+    sweep(replicated_batches(packed, 1), mesh=mesh)
+    assert make_sharded_verifier.cache_info().hits > hits0
+    assert make_sharded_verifier(mesh, max_value_len=128, pooled=True) is \
+        make_sharded_verifier(mesh, max_value_len=128, pooled=True)

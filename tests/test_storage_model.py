@@ -101,3 +101,30 @@ def test_single_proof_reference_semantics():
         raise
     except TrieError:
         pass
+
+
+def test_verify_account_batch_decodes_fields():
+    """Direct coverage for verify_account_batch (pooled path): verify a
+    batch of account proofs and cross-check every decoded field against
+    the oracle's inserted leaves — the reference account-test flow
+    (trie-utils/tests/account.rs:33-129: verify, decode_exact::<Account>,
+    compare storage_root against the known storage hash)."""
+    from zk_state_proofs_tpu.models import verify_account_batch
+
+    world, accounts = _build_world(n_accounts=12, slots_per=1)
+    state_root = world.root_hash()
+    entries = [(state_root, world.get_proof(keccak256(a[0])), keccak256(a[0]))
+               for a in accounts]
+    packed = pack_proofs(entries)
+    res, fields = verify_account_batch(packed)
+    assert res.all_found
+    for i, (addr, st, sroot, slots, leaf) in enumerate(accounts):
+        assert bytes(fields["storage_root"][i]) == sroot
+        assert bytes(fields["code_hash"][i]) == keccak256(b"code-%d" % i)
+        assert int.from_bytes(bytes(fields["nonce"][i]), "big") == i + 1
+        assert int.from_bytes(bytes(fields["balance"][i]), "big") == 10**18 + i
+        assert bool(fields["ok"][i])
+    # non-pooled path agrees
+    res2, fields2 = verify_account_batch(packed, dedup=False)
+    assert (res2.status == res.status).all()
+    np.testing.assert_array_equal(fields2["storage_root"], fields["storage_root"])

@@ -37,38 +37,41 @@ class SweepResult:
 
 
 def sweep(batches, mesh=None, max_value_len: int = 128, max_steps=None,
-          meter: Meter | None = None) -> SweepResult:
+          meter: Meter | None = None, dedup: bool = True) -> SweepResult:
     """Verify an iterable of PackedProofs (all with identical bucket
-    geometry). With a mesh, each batch is dp-sharded across devices.
-    Returns aggregate counts + wall time (device-synced)."""
+    geometry). With a mesh, each batch is dp-sharded across devices
+    (batch sizes must divide the mesh). Returns aggregate counts + wall
+    time (device-synced).
+
+    dedup=True (the default, consistent with verify_merkle_batch /
+    verify_proofs_sharded) hashes each batch's unique-node pool once —
+    building the pool at pack time via packed.pool() if the packer didn't
+    already; the sharded path replicates the pool across devices."""
     if mesh is not None:
         from ..parallel.mesh import make_sharded_verifier
 
-        fn = make_sharded_verifier(mesh, max_value_len=max_value_len)
+        # memoized per (mesh, max_value_len, pooled) — no re-jit across calls
+        fn = make_sharded_verifier(mesh, max_value_len=max_value_len,
+                                   pooled=dedup)
     else:
         # mpt.verify_proofs[_pooled] is already jitted; calling it directly
         # reuses its global trace cache across sweep() invocations
         fn = functools.partial(
-            mpt.verify_proofs, max_value_len=max_value_len, max_steps=max_steps
-        )
-        fn_pooled = functools.partial(
-            mpt.verify_proofs_pooled, max_value_len=max_value_len,
-            max_steps=max_steps
+            mpt.verify_proofs_pooled if dedup else mpt.verify_proofs,
+            max_value_len=max_value_len, max_steps=max_steps,
         )
     totals = np.zeros(3, dtype=np.int64)
     total = 0
     t0 = time.time()
     pending = []
     for packed in batches:
+        pool = packed.pool() if dedup else ()
         if mesh is not None:
             active = np.ones(packed.batch, dtype=np.int32)
-            out = fn(*(packed.astuple() + (active,)))
+            out = fn(*(packed.astuple() + (active,) + pool))
             pending.append((packed.batch, out[3]))  # psum'ed counts
-        elif packed.pool_nodes is not None:
-            status, _, _ = fn_pooled(*packed.astuple(), *packed.pool())
-            pending.append((packed.batch, status))
         else:
-            status, _, _ = fn(*packed.astuple())
+            status, _, _ = fn(*packed.astuple(), *pool)
             pending.append((packed.batch, status))
         total += packed.batch
     # drain

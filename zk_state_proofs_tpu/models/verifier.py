@@ -85,14 +85,21 @@ def verify_merkle_proof(root: bytes, proof: list, key: bytes) -> bytes:
     raise TrieError("invalid merkle proof")
 
 
-def verify_account_batch(packed: PackedProofs):
+def verify_account_batch(packed: PackedProofs, dedup: bool = True):
     """Account-flavor convenience: verify + device-decode the account leaf.
     Returns (VerifyResult, dict of decoded numpy account fields) — the
     batched analog of the reference's account tests (trie-utils/
-    tests/account.rs:33-129: verify then decode_exact::<Account>)."""
-    status, values, vlens = mpt.verify_proofs(
-        *packed.astuple(), max_value_len=128
-    )
+    tests/account.rs:33-129: verify then decode_exact::<Account>).
+    dedup=True hashes the batch's unique-node pool once, like
+    verify_merkle_batch."""
+    if dedup:
+        status, values, vlens = mpt.verify_proofs_pooled(
+            *packed.astuple(), *packed.pool(), max_value_len=128
+        )
+    else:
+        status, values, vlens = mpt.verify_proofs(
+            *packed.astuple(), max_value_len=128
+        )
     acct = decode_account(values, vlens)
     res = VerifyResult(np.asarray(status), np.asarray(values), np.asarray(vlens))
     return res, {k: np.asarray(v) for k, v in acct.items()}

@@ -141,5 +141,7 @@ def pack_proofs_native(entries, max_nodes: int, node_len: int, key_nibbles: int)
         key_lens.ctypes.data_as(ctypes.c_void_p),
     )
     if rc != 0:
-        raise ValueError(f"proof {rc - 1} exceeds bucket (max_nodes={max_nodes}, node_len={node_len}, key_nibbles={key_nibbles})")
+        from ..witness.pack import PackingError
+
+        raise PackingError(f"proof {rc - 1} exceeds bucket (max_nodes={max_nodes}, node_len={node_len}, key_nibbles={key_nibbles})")
     return nodes, node_lens, num_nodes, out_roots, knib, key_lens

@@ -100,7 +100,13 @@ def _fetch_word_pair(cur, curs, wp):
 
 
 def _fetch4(cur, curs, pos):
-    """4 bytes at dynamic per-lane byte position `pos`."""
+    """4 bytes at dynamic per-lane byte position `pos`.
+
+    `pos` is clamped to the buffer like the XLA path's fetch_packed
+    (select.py clips to nw*4-1) so a malformed header that drives the
+    cursor past the buffer decodes the same bytes on both paths — parity
+    by construction, not via the downstream well-formedness check."""
+    pos = jnp.clip(pos, 0, cur.shape[0] * 4 - 1)
     wp = pos >> 2
     r = pos & 3
     w1, w2 = _fetch_word_pair(cur, curs, wp)

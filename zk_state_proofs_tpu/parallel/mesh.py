@@ -49,9 +49,14 @@ def pad_batch(arrays, multiple: int):
     return tuple(out), b
 
 
+@functools.lru_cache(maxsize=None)
 def make_sharded_verifier(mesh: Mesh, max_value_len: int = 128,
                           pooled: bool = False):
     """Build a pjit-ted sharded batch verifier over `mesh`.
+
+    Memoized on (mesh, max_value_len, pooled): repeated calls (sweeps,
+    verify_proofs_sharded) reuse one jitted executable instead of
+    re-tracing per invocation.
 
     Returns fn(nodes, node_lens, num_nodes, roots, key_nibbles, key_lens) ->
     (status [B], values [B, V], value_lens [B], global_counts [3]) with the

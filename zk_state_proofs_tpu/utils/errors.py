@@ -14,10 +14,7 @@ INVALID):
 
 from ..oracle.trie import MissingKeyError, TrieError as VerificationError
 from ..witness.builders import WitnessError
-
-
-class PackingError(ValueError):
-    """Batch exceeds its padding bucket (resize the BucketConfig)."""
+from ..witness.pack import PackingError
 
 
 __all__ = [

@@ -18,6 +18,13 @@ from ..oracle.trie import bytes_to_nibbles
 DEFAULT_KEY_NIBBLES = 64  # 32-byte keys (account/storage tries)
 
 
+class PackingError(ValueError):
+    """Batch does not fit its padding bucket, or a packed/deserialized
+    witness bundle fails integrity validation. Part of the structured
+    error taxonomy (the reference's equivalent failures are panics,
+    reference: crypto-ops/src/lib.rs:14,22)."""
+
+
 @dataclass
 class PackedProofs:
     """A batch of padded MPT proofs (numpy, ready for device put).
@@ -82,13 +89,53 @@ class PackedProofs:
     @classmethod
     def load(cls, path) -> "PackedProofs":
         with np.load(path) as z:
-            return cls(
+            packed = cls(
                 nodes=z["nodes"], node_lens=z["node_lens"], num_nodes=z["num_nodes"],
                 roots=z["roots"], key_nibbles=z["key_nibbles"], key_lens=z["key_lens"],
                 pool_nodes=z["pool_nodes"] if "pool_nodes" in z else None,
                 pool_lens=z["pool_lens"] if "pool_lens" in z else None,
                 pool_idx=z["pool_idx"] if "pool_idx" in z else None,
             )
+        # A deserialized pool is UNTRUSTED until validated: the pooled
+        # verifier hashes pool_nodes but walks nodes[i,j], so a stale or
+        # corrupted cache could otherwise make invalid proofs verify (the
+        # reference re-hashes every node per proof,
+        # crypto-ops/src/lib.rs:10-13 — pooling must not weaken that).
+        if packed.pool_nodes is not None:
+            validate_node_pool(
+                packed.nodes, packed.node_lens, packed.num_nodes,
+                packed.pool_nodes, packed.pool_lens, packed.pool_idx,
+            )
+        return packed
+
+
+def validate_node_pool(nodes, node_lens, num_nodes, pool_nodes, pool_lens,
+                       pool_idx) -> None:
+    """Assert nodes[i, j] == pool_nodes[pool_idx[i, j]] for every real row.
+
+    The invariant the pooled verifier trusts (ops.mpt.verify_proofs_pooled
+    hashes the pool, the walker reads nodes[i, j] bytes); raises
+    PackingError on any mismatch. Fully vectorized (one fancy-gather plus
+    masked compares), so it is cheap enough to run on every deserialize.
+    """
+    b, d, n = nodes.shape
+    u = pool_nodes.shape[0]
+    if pool_idx.shape != (b, d):
+        raise PackingError(f"pool_idx shape {pool_idx.shape} != {(b, d)}")
+    real = np.arange(d)[None, :] < np.asarray(num_nodes)[:, None]  # [B, D]
+    idx = np.asarray(pool_idx)
+    if (idx < 0).any() or (idx >= u).any():
+        raise PackingError("pool_idx out of range")
+    if not (np.asarray(pool_lens)[idx] == np.asarray(node_lens))[real].all():
+        raise PackingError("pool_lens disagree with node_lens")
+    gathered = np.asarray(pool_nodes)[idx]           # u8 [B, D, N]
+    byte_live = np.arange(n)[None, None, :] < np.asarray(node_lens)[:, :, None]
+    mismatch = (gathered != np.asarray(nodes)) & byte_live & real[:, :, None]
+    if mismatch.any():
+        i, j, _ = np.argwhere(mismatch)[0]
+        raise PackingError(
+            f"pool integrity violation: nodes[{i},{j}] != pool_nodes[pool_idx[{i},{j}]]"
+        )
 
 
 def build_node_pool(nodes, node_lens, num_nodes, pad_multiple: int = 128):
@@ -142,9 +189,9 @@ def pack_proofs(
     d = max_nodes if max_nodes is not None else max(need_nodes, 1)
     n = node_len if node_len is not None else max(need_len, 4)
     if need_nodes > d:
-        raise ValueError(f"proof with {need_nodes} nodes exceeds bucket max_nodes={d}")
+        raise PackingError(f"proof with {need_nodes} nodes exceeds bucket max_nodes={d}")
     if need_len > n:
-        raise ValueError(f"node of {need_len} bytes exceeds bucket node_len={n}")
+        raise PackingError(f"node of {need_len} bytes exceeds bucket node_len={n}")
 
     # native packer (C++) when available — same layout, one ctypes call
     from .. import native as _native
@@ -163,7 +210,7 @@ def pack_proofs(
 
     for i, (root, proof, key) in enumerate(entries):
         if len(root) != 32:
-            raise ValueError("root must be 32 bytes")
+            raise PackingError("root must be 32 bytes")
         roots[i] = np.frombuffer(root, dtype=np.uint8)
         num_nodes[i] = len(proof)
         for j, node in enumerate(proof):
@@ -171,7 +218,7 @@ def pack_proofs(
             node_lens[i, j] = len(node)
         nibs = bytes_to_nibbles(key)
         if len(nibs) > key_nibbles:
-            raise ValueError(f"key has {len(nibs)} nibbles > bucket {key_nibbles}")
+            raise PackingError(f"key has {len(nibs)} nibbles > bucket {key_nibbles}")
         knib[i, : len(nibs)] = nibs
         key_lens[i] = len(nibs)
     return PackedProofs(nodes, node_lens, num_nodes, roots, knib, key_lens)

@@ -31,6 +31,33 @@ constexpr uint64_t kRC[kRounds] = {
 constexpr int kRho[25] = {0, 1, 62, 28, 27, 36, 44, 6,  55, 20, 3,  10, 43,
                           25, 39, 41, 45, 15, 21, 8,  18, 2,  61, 56, 14};
 
+// Word-at-a-time FNV-style mix — hash-table key for node-pool
+// deduplication (not a cryptographic digest; collisions fall through to a
+// byte compare, so quality only affects probe length).
+inline uint64_t fnv1a64(const uint8_t* p, size_t n) {
+  uint64_t h = 1469598103934665603ULL ^ (n * 1099511628211ULL);
+  size_t i = 0;
+  for (; i + 8 <= n; i += 8) {
+    uint64_t w;
+    std::memcpy(&w, p + i, 8);
+    h ^= w;
+    h *= 1099511628211ULL;
+    h ^= h >> 29;
+  }
+  uint64_t tail = 0;
+  if (i < n) std::memcpy(&tail, p + i, n - i);
+  h ^= tail;
+  h *= 1099511628211ULL;
+  h ^= h >> 32;
+  return h;
+}
+
+inline uint64_t next_pow2(uint64_t x) {
+  uint64_t p = 1;
+  while (p < x) p <<= 1;
+  return p;
+}
+
 inline uint64_t rotl64(uint64_t x, int n) {
   return n == 0 ? x : (x << n) | (x >> (64 - n));
 }
@@ -144,6 +171,70 @@ int zkp_pack_proofs(const uint8_t* node_blob, const int64_t* node_offsets,
     key_lens[i] = static_cast<int32_t>(2 * klen);
   }
   return 0;
+}
+
+// Deduplicate packed proof-node rows into a unique-node pool (the input
+// to ops/mpt.verify_proofs_pooled — hash each unique node once on device,
+// where the reference re-hashes every node per proof,
+// crypto-ops/src/lib.rs:10-13). Mirrors witness/pack.build_node_pool
+// byte-for-byte, including first-encounter ordering and the reserved
+// all-zero pool row 0, so the two paths are interchangeable.
+//
+// Inputs: nodes u8 [b, max_nodes, node_len] (zero-padded), node_lens i32
+// [b, max_nodes], num_nodes i32 [b]. Outputs (caller-allocated):
+// pool_nodes u8 [cap, node_len] (must be ZERO-FILLED by the caller so
+// unused rows stay zero), pool_lens i32 [cap] (zero-filled), pool_idx
+// i32 [b, max_nodes] (zero-filled: rows past num_nodes map to row 0).
+// Returns the number of pool rows used (>= 1), or -1 if cap overflows.
+int zkp_build_node_pool(const uint8_t* nodes, const int32_t* node_lens,
+                        const int32_t* num_nodes, int b, int max_nodes,
+                        int node_len, uint8_t* pool_nodes, int32_t* pool_lens,
+                        int32_t* pool_idx, int cap) {
+  if (cap < 1) return -1;
+  // open-addressing table of (pool row + 1); 0 = empty slot
+  const uint64_t tsize =
+      next_pow2(2ULL * (static_cast<uint64_t>(b) * max_nodes + 2));
+  const uint64_t tmask = tsize - 1;
+  std::vector<int32_t> table(tsize, 0);
+  int used = 1;  // row 0 = the reserved zero row (len 0)
+  for (int i = 0; i < b; ++i) {
+    const int cnt = num_nodes[i];
+    for (int j = 0; j < cnt; ++j) {
+      const uint8_t* row =
+          nodes + (static_cast<size_t>(i) * max_nodes + j) * node_len;
+      const int32_t len = node_lens[i * max_nodes + j];
+      if (len == 0) {
+        pool_idx[i * max_nodes + j] = 0;  // empty row == the zero row
+        continue;
+      }
+      uint64_t slot = fnv1a64(row, static_cast<size_t>(len)) & tmask;
+      int32_t at = -1;
+      for (;;) {
+        const int32_t entry = table[slot];
+        if (entry == 0) break;  // not present
+        const int32_t cand = entry - 1;
+        const uint8_t* crow =
+            pool_nodes + static_cast<size_t>(cand) * node_len;
+        if (pool_lens[cand] == len &&
+            std::memcmp(crow, row, static_cast<size_t>(len)) == 0) {
+          at = cand;
+          break;
+        }
+        slot = (slot + 1) & tmask;
+      }
+      if (at < 0) {
+        if (used >= cap) return -1;
+        at = used++;
+        // copy the full padded row (tail is zeros by the packing contract)
+        std::memcpy(pool_nodes + static_cast<size_t>(at) * node_len, row,
+                    static_cast<size_t>(node_len));
+        pool_lens[at] = len;
+        table[slot] = at + 1;
+      }
+      pool_idx[i * max_nodes + j] = at;
+    }
+  }
+  return used;
 }
 
 }  // extern "C"

@@ -246,3 +246,59 @@ def test_pooled_hashing_matches_direct():
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
     # the pool really deduplicates: far fewer unique rows than proof rows
     assert pargs[0].shape[0] < packed.nodes.shape[0] * packed.nodes.shape[1]
+
+
+def test_invalid_reason_codes():
+    """verify_proofs_diagnose splits INVALID into diagnosable reasons —
+    the reference's distinct panic messages (crypto-ops/src/lib.rs:14,22)
+    as a per-proof channel."""
+    from zk_state_proofs_tpu.models import diagnose_batch
+    from zk_state_proofs_tpu.witness import pack_proofs
+
+    t = EthTrie()
+    keys = [keccak256(b"rs%d" % i) for i in range(48)]
+    for i, k in enumerate(keys):
+        t.insert(k, bytes([i % 200 + 1]) * 40)
+    root = t.root_hash()
+    good = t.get_proof(keys[0])
+
+    entries = []
+    # 0: valid
+    entries.append((root, good, keys[0]))
+    # 1: root node absent entirely -> root-missing
+    entries.append((root, good[1:], keys[0]))
+    # 2: leaf replaced by garbage (hash link broken) -> hash-mismatch
+    entries.append((root, good[:-1] + [b"\xde\xad" * 30], keys[0]))
+    # 3: truncated (intermediate node missing) -> hash-mismatch at that link
+    entries.append((root, [good[0]], keys[0]))
+    # 4: root node bytes corrupted -> its digest no longer matches root
+    bad_root_node = bytearray(good[0]); bad_root_node[-1] ^= 1
+    entries.append((root, [bytes(bad_root_node)] + good[1:], keys[0]))
+    packed = pack_proofs(entries)
+
+    res = diagnose_batch(packed)
+    assert res.status[0] == mpt.FOUND and res.reasons[0] == mpt.R_NONE
+    assert res.status[1] == mpt.INVALID and res.reasons[1] == mpt.R_ROOT_MISSING
+    assert res.status[2] == mpt.INVALID and res.reasons[2] == mpt.R_HASH_MISMATCH
+    assert res.status[3] == mpt.INVALID and res.reasons[3] == mpt.R_HASH_MISMATCH
+    assert res.status[4] == mpt.INVALID and res.reasons[4] == mpt.R_ROOT_MISSING
+    counts = res.counts()
+    assert counts["invalid"] == 4
+    assert counts["invalid_root-missing"] == 2
+    assert counts["invalid_hash-mismatch"] == 2
+
+
+def test_malformed_node_reason():
+    """A node that is valid RLP bytes at the root position but not a
+    branch/extension/leaf structure diagnoses as malformed-node."""
+    from zk_state_proofs_tpu.models import diagnose_batch
+    from zk_state_proofs_tpu.oracle import rlp as orlp
+    from zk_state_proofs_tpu.witness import pack_proofs
+
+    # a 3-item list is never a valid trie node; make it >= 32 bytes
+    bogus = orlp.encode([b"\x01" * 20, b"\x02" * 20, b"\x03" * 20])
+    root = keccak256(bogus)
+    packed = pack_proofs([(root, [bogus], keccak256(b"k"))])
+    res = diagnose_batch(packed)
+    assert res.status[0] == mpt.INVALID
+    assert res.reasons[0] == mpt.R_MALFORMED

@@ -58,3 +58,62 @@ def test_native_pack_bucket_overflow():
     entries = [(b"\x00" * 32, [b"\x01" * 100], b"\x02" * 4)]
     with pytest.raises(ValueError):
         pack_proofs(entries, node_len=50)
+
+
+def test_native_node_pool_matches_python():
+    """zkp_build_node_pool must be byte-identical to the Python dict loop
+    (same first-encounter ordering, zero row 0, pad-to-128 rows)."""
+    import numpy as np
+
+    from zk_state_proofs_tpu import native
+    from zk_state_proofs_tpu.oracle import EthTrie, keccak256, rlp
+    from zk_state_proofs_tpu.witness import pack_proofs
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    t = EthTrie()
+    keys = [keccak256(b"np%d" % i) for i in range(96)]
+    for i, k in enumerate(keys):
+        t.insert(k, rlp.encode([rlp.int_to_min_bytes(i + 1), b"\x09",
+                                keccak256(b"s%d" % i), keccak256(b"c%d" % i)]))
+    root = t.root_hash()
+    # repeats + an empty-proof row exercise dedup and the zero-row mapping
+    entries = [(root, t.get_proof(keys[i % 96]), keys[i % 96])
+               for i in range(256)]
+    packed = pack_proofs(entries)
+    packed.num_nodes[7] = 0  # empty proof -> all rows map to pool row 0
+
+    nat = native.build_node_pool_native(
+        packed.nodes, packed.node_lens, packed.num_nodes)
+    assert nat is not None
+
+    # reimplementation of the Python reference loop (pack.build_node_pool
+    # prefers the native path, so compare against the explicit fallback)
+    b, d, n = packed.nodes.shape
+    seen = {b"": 0}
+    pool = [np.zeros(n, np.uint8)]
+    lens = [0]
+    idx = np.zeros((b, d), np.int32)
+    for i in range(b):
+        for j in range(int(packed.num_nodes[i])):
+            key = packed.nodes[i, j, : packed.node_lens[i, j]].tobytes()
+            at = seen.get(key)
+            if at is None:
+                at = len(pool)
+                seen[key] = at
+                pool.append(packed.nodes[i, j])
+                lens.append(int(packed.node_lens[i, j]))
+            idx[i, j] = at
+    u = -(-len(pool) // 128) * 128
+    pn = np.zeros((u, n), np.uint8)
+    pn[: len(pool)] = np.stack(pool)
+    pl = np.zeros(u, np.int32)
+    pl[: len(lens)] = lens
+
+    np.testing.assert_array_equal(nat[0], pn)
+    np.testing.assert_array_equal(nat[1], pl)
+    np.testing.assert_array_equal(nat[2], idx)
+    assert (nat[2][7] == 0).all()

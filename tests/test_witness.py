@@ -182,7 +182,17 @@ def test_network_flavors_fake_transport():
         if payload["method"] == "eth_getBlockByNumber":
             return {"result": {"stateRoot": "0x" + root.hex()}}
         if payload["method"] == "eth_getProof":
-            return {"result": {"accountProof": proof_nodes, "storageProof": []}}
+            # full eth_getProof shape (the typed AccountProofResult model
+            # validates address/storageHash presence)
+            return {"result": {
+                "address": addr,
+                "accountProof": proof_nodes,
+                "balance": "0x2",
+                "codeHash": "0x" + keccak256(b"ch").hex(),
+                "nonce": "0x1",
+                "storageHash": "0x" + keccak256(b"sr").hex(),
+                "storageProof": [],
+            }}
         raise AssertionError(payload["method"])
 
     client = OptimismClient(transport=transport)
@@ -244,3 +254,45 @@ def test_optimism_deposit_tx_block():
     block = {"transactions": txs, "transactionsRoot": "0x" + root.hex()}
     inp = get_transaction_proof_input(block, 0)
     assert verify_merkle_proof(inp.root_hash, inp.proof, inp.key) == enc
+
+
+def test_sweep_resident_and_indexed_parity():
+    """verify_proofs_indexed (device-resident pool) must agree with the
+    pooled verifier, and sweep_resident must count identically to the
+    fresh-stream sweep over the same index sets."""
+    import numpy as np
+
+    from zk_state_proofs_tpu.models import sweep_resident
+    from zk_state_proofs_tpu.oracle import EthTrie
+    from zk_state_proofs_tpu.ops import mpt
+
+    t = EthTrie()
+    keys = []
+    for i in range(64):
+        k = keccak256(b"res%d" % i)
+        keys.append(k)
+        t.insert(k, bytes([i % 250 + 1]) * 40)
+    root = t.root_hash()
+    entries = [(root, t.get_proof(k), k) for k in keys]
+    entries[7] = (root, t.get_proof(keccak256(b"gone")), keccak256(b"gone"))
+    packed = pack_proofs(entries)
+    pool = packed.pool()
+
+    # op-level parity
+    dig = mpt.hash_pool(pool[0], pool[1])
+    s1, v1, l1 = (np.asarray(x) for x in mpt.verify_proofs_indexed(
+        pool[0], pool[1], dig, pool[2], packed.num_nodes, packed.roots,
+        packed.key_nibbles, packed.key_lens))
+    s2, v2, l2 = (np.asarray(x) for x in mpt.verify_proofs_pooled(
+        *packed.astuple(), *pool))
+    assert (s1 == s2).all() and (l1 == l2).all() and (v1 == v2).all()
+    assert s1[7] == mpt.EXCLUDED
+
+    # sweep driver over index batches (with repeats across batches)
+    rng = np.random.default_rng(3)
+    sels = [rng.permutation(64)[:32] for _ in range(4)]
+    res = sweep_resident(packed, sels)
+    want_found = sum(int((s1[sel] == mpt.FOUND).sum()) for sel in sels)
+    want_excl = sum(int((s1[sel] == mpt.EXCLUDED).sum()) for sel in sels)
+    assert res.total == 128
+    assert (res.found, res.excluded, res.invalid) == (want_found, want_excl, 0)

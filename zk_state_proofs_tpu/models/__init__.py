@@ -13,9 +13,11 @@ from .circuits import (
     run_merkle_circuit_batch,
     run_storage_circuit,
 )
-from .sweep import SweepResult, replicated_batches, sweep
+from .sweep import (SweepResult, replicated_batches, sweep, sweep_entries,
+                    sweep_resident)
 from .verifier import (
     batch_commitment,
+    diagnose_batch,
     verify_account_batch,
     StorageVerifyResult,
     VerifyResult,
@@ -31,7 +33,10 @@ __all__ = [
     "SweepResult",
     "replicated_batches",
     "sweep",
+    "sweep_entries",
+    "sweep_resident",
     "batch_commitment",
+    "diagnose_batch",
     "verify_account_batch",
     "Erc20Transfer",
     "decode_receipt_value",

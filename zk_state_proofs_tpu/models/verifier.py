@@ -38,6 +38,7 @@ class VerifyResult:
     status: np.ndarray      # i32 [B]: mpt.FOUND / EXCLUDED / INVALID
     values: np.ndarray      # u8  [B, V]
     value_lens: np.ndarray  # i32 [B]
+    reasons: np.ndarray | None = None  # i32 [B] (diagnose_batch only)
 
     def value(self, i: int) -> bytes:
         return bytes(self.values[i][: self.value_lens[i]])
@@ -48,11 +49,21 @@ class VerifyResult:
 
     def counts(self) -> dict:
         s = self.status
-        return {
+        out = {
             "found": int((s == mpt.FOUND).sum()),
             "excluded": int((s == mpt.EXCLUDED).sum()),
             "invalid": int((s == mpt.INVALID).sum()),
         }
+        if self.reasons is not None:
+            # diagnosable INVALID breakdown (the reference's distinct
+            # panic messages, crypto-ops/src/lib.rs:14,22)
+            for code, name in mpt.REASON_NAMES.items():
+                if code == mpt.R_NONE:
+                    continue
+                n = int((self.reasons == code).sum())
+                if n:
+                    out[f"invalid_{name}"] = n
+        return out
 
 
 def verify_merkle_batch(packed: PackedProofs, max_value_len: int = 128,
@@ -70,6 +81,18 @@ def verify_merkle_batch(packed: PackedProofs, max_value_len: int = 128,
             *packed.astuple(), max_value_len=max_value_len
         )
     return VerifyResult(np.asarray(status), np.asarray(values), np.asarray(vlens))
+
+
+def diagnose_batch(packed: PackedProofs, max_value_len: int = 128) -> VerifyResult:
+    """verify_merkle_batch plus per-proof INVALID reason codes
+    (mpt.REASON_NAMES) — the debugging surface for witness triage. Runs
+    the XLA walker (reasons aren't tracked in the fused TPU kernel's hot
+    path), so use it on failures, not in the serving loop."""
+    status, values, vlens, reasons = mpt.verify_proofs_diagnose(
+        *packed.astuple(), max_value_len=max_value_len
+    )
+    return VerifyResult(np.asarray(status), np.asarray(values),
+                        np.asarray(vlens), reasons=np.asarray(reasons))
 
 
 def verify_merkle_proof(root: bytes, proof: list, key: bytes) -> bytes:

@@ -41,9 +41,12 @@ def get_lib():
     global _lib, _load_failed
     if _lib is not None or _load_failed:
         return _lib
-    if not _SO.exists() and not _build():
-        _load_failed = True
-        return None
+    stale = (_SO.exists() and _SRC.exists()
+             and _SRC.stat().st_mtime > _SO.stat().st_mtime)
+    if (not _SO.exists() or stale) and not _build():
+        if not _SO.exists():
+            _load_failed = True
+            return None
     try:
         lib = ctypes.CDLL(str(_SO))
     except OSError:
@@ -56,6 +59,13 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p
     ]
     lib.zkp_pack_proofs.restype = ctypes.c_int
+    if hasattr(lib, "zkp_build_node_pool"):
+        lib.zkp_build_node_pool.restype = ctypes.c_int
+        lib.zkp_build_node_pool.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+        ]
     _lib = lib
     return _lib
 
@@ -94,6 +104,42 @@ def keccak256_batch(messages) -> list:
         out.ctypes.data_as(ctypes.c_void_p),
     )
     return [bytes(out[i]) for i in range(len(messages))]
+
+
+def build_node_pool_native(nodes, node_lens, num_nodes,
+                           pad_multiple: int = 128, min_rows: int = 0):
+    """Native unique-node pool construction (zkp_build_node_pool),
+    byte-identical to witness.pack.build_node_pool. Returns
+    (pool_nodes, pool_lens, pool_idx) or None when the native library
+    (or the symbol, for a stale build) is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "zkp_build_node_pool"):
+        return None
+    nodes = np.ascontiguousarray(nodes, dtype=np.uint8)
+    node_lens = np.ascontiguousarray(node_lens, dtype=np.int32)
+    num_nodes = np.ascontiguousarray(num_nodes, dtype=np.int32)
+    b, d, n = nodes.shape
+    cap = int(num_nodes.sum()) + 1
+    cap = max(-(-cap // pad_multiple) * pad_multiple, min_rows)
+    pool_nodes = np.zeros((cap, n), dtype=np.uint8)
+    pool_lens = np.zeros(cap, dtype=np.int32)
+    pool_idx = np.zeros((b, d), dtype=np.int32)
+    used = lib.zkp_build_node_pool(
+        nodes.ctypes.data_as(ctypes.c_void_p),
+        node_lens.ctypes.data_as(ctypes.c_void_p),
+        num_nodes.ctypes.data_as(ctypes.c_void_p),
+        b, d, n,
+        pool_nodes.ctypes.data_as(ctypes.c_void_p),
+        pool_lens.ctypes.data_as(ctypes.c_void_p),
+        pool_idx.ctypes.data_as(ctypes.c_void_p),
+        cap,
+    )
+    if used < 0:
+        from ..witness.pack import PackingError
+
+        raise PackingError("node pool exceeded its capacity bound")
+    u = max(-(-used // pad_multiple) * pad_multiple, min_rows)
+    return pool_nodes[:u], pool_lens[:u], pool_idx
 
 
 def pack_proofs_native(entries, max_nodes: int, node_len: int, key_nibbles: int):

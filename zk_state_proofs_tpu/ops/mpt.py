@@ -61,6 +61,24 @@ FOUND = 1
 EXCLUDED = 2
 INVALID = 3
 
+# INVALID reason codes (per proof; verify_proofs_diagnose) — the debugging
+# surface matching the reference's distinct panic messages
+# ("Invalid merkle proof" / "Failed to verify", crypto-ops/src/lib.rs:14,22)
+R_NONE = 0           # proof not INVALID
+R_MALFORMED = 1      # ill-formed RLP node / wrong item count / bad hex-prefix
+R_BAD_CHILD_REF = 2  # hash child reference is not 32 bytes
+R_HASH_MISMATCH = 3  # referenced digest matches no proof node
+R_ROOT_MISSING = 4   # no proof node hashes to the trusted root
+R_TRUNCATED = 5      # walk ran out of nodes/steps before a terminal
+REASON_NAMES = {
+    R_NONE: "ok",
+    R_MALFORMED: "malformed-node",
+    R_BAD_CHILD_REF: "bad-child-ref",
+    R_HASH_MISMATCH: "hash-mismatch",
+    R_ROOT_MISSING: "root-missing",
+    R_TRUNCATED: "truncated",
+}
+
 _EMPTY_ROOT_NP = np.frombuffer(EMPTY_ROOT, dtype=np.uint8)
 
 
@@ -107,7 +125,7 @@ def _pair_zeros(b):
 
 def _step_merge(buf, num_nodes, digests, key_lens, carry, items, pair):
     """Resolve the batch's transitions from decode + pair outputs."""
-    node_idx, off, key_pos, status, vnode, vstart, vlen = carry
+    node_idx, off, key_pos, status, vnode, vstart, vlen, reason = carry
 
     is_branch = items["count"] == 17
     is_pair = items["count"] == 2
@@ -178,6 +196,11 @@ def _step_merge(buf, num_nodes, digests, key_lens, carry, items, pair):
                             jnp.where(ext_child, key_pos + n_path, key_pos))
     new_node_idx = jnp.where(child_hash, nxt, node_idx)
     new_off = jnp.where(child_hash, 0, jnp.where(child_inline, cstart, off))
+    # diagnosable INVALID reason: first failure class that applied
+    new_reason = jnp.where(
+        bad_node, R_MALFORMED,
+        jnp.where(child_bad, R_BAD_CHILD_REF,
+                  jnp.where(hash_fail, R_HASH_MISMATCH, reason)))
 
     live = status == RUNNING
     pick = lambda new, old: jnp.where(live, new, old)
@@ -189,6 +212,7 @@ def _step_merge(buf, num_nodes, digests, key_lens, carry, items, pair):
         pick(new_vnode, vnode),
         pick(new_vstart, vstart),
         pick(new_vlen, vlen),
+        pick(new_reason, reason),
     )
 
 
@@ -208,12 +232,13 @@ def _init_carry(num_nodes, digests, roots):
         jnp.where(root_is_empty, EXCLUDED, INVALID),
         jnp.where(root_ok, RUNNING, INVALID),
     ).astype(jnp.int32)
+    reason0 = jnp.where(status0 == INVALID, R_ROOT_MISSING, R_NONE)
     zero = jnp.zeros((b,), jnp.int32)
-    return (root_idx, zero, zero, status0, zero, zero, zero)
+    return (root_idx, zero, zero, status0, zero, zero, zero, reason0)
 
 
 def _extract_value(nodes, carry, max_value_len: int):
-    node_idx, off, key_pos, status, vnode, vstart, vlen = carry
+    node_idx, off, key_pos, status, vnode, vstart, vlen, reason = carry
     val_buf = jnp.take_along_axis(nodes, vnode[:, None, None], axis=1)[:, 0]
     idx = jnp.clip(vstart[:, None] + jnp.arange(max_value_len)[None, :], 0,
                    val_buf.shape[1] - 1)
@@ -270,14 +295,15 @@ def walk_batch(nodes, node_lens, num_nodes, digests, roots, key_nibbles,
 
     carry = jax.lax.fori_loop(0, max_steps, step, carry)
     status, value, vlen = _extract_value(nodes, carry, max_value_len)
+    reasons = jnp.where(status == RUNNING, R_TRUNCATED, carry[7])
     status = jnp.where(status == RUNNING, INVALID, status)
-    return status, value, vlen
+    return status, value, vlen, reasons
 
 
 def walk_one(nodes, node_lens, num_nodes, digests, root, key_nibbles, key_len,
              max_value_len: int, max_steps: int | None = None):
     """Single-proof walk (thin wrapper over the batched walker)."""
-    status, value, vlen = walk_batch(
+    status, value, vlen, _ = walk_batch(
         nodes[None], node_lens[None], num_nodes[None], digests[None],
         root[None], key_nibbles[None], key_len[None], max_value_len, max_steps,
     )
@@ -358,7 +384,63 @@ def verify_proofs_pooled(nodes, node_lens, num_nodes, roots, key_nibbles,
                                  max_steps)
     return walk_batch(nodes, node_lens, num_nodes, digests, roots,
                       key_nibbles, key_lens, max_value_len, max_steps,
-                      conditional)
+                      conditional)[:3]
+
+
+@functools.partial(jax.jit, static_argnames=())
+def hash_pool(pool_nodes, pool_lens):
+    """Digest a unique-node pool: u8 [U, N], i32 [U] -> u8 [U, 32].
+    The one-time phase of the device-resident witness flow (see
+    verify_proofs_indexed)."""
+    if jax.default_backend() == "tpu":
+        from .keccak_pallas import keccak256_tpu
+
+        return keccak256_tpu(pool_nodes, pool_lens)
+    from .keccak import keccak256
+
+    return keccak256(pool_nodes, pool_lens)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("max_value_len", "max_steps", "conditional"))
+def verify_proofs_indexed(pool_nodes, pool_lens, pool_digests, pool_idx,
+                          num_nodes, roots, key_nibbles, key_lens,
+                          max_value_len: int = 128,
+                          max_steps: int | None = None,
+                          conditional: bool = True):
+    """Verification against a DEVICE-RESIDENT witness pool.
+
+    The streaming counterpart of verify_proofs_pooled for repeated sweeps
+    over one trie: the unique-node pool (bytes + lengths + digests from
+    hash_pool) stays on device across batches, and each batch ships only
+    its row indices — per-proof node tables are materialized on device by
+    row gathers from the pool. On this CI the host->device link is the
+    sweep bottleneck (~64 MB/s through the relay; a 4096-proof batch's
+    node tables are ~23 MB, its indices ~16 KB), so this turns a
+    ~360 ms/batch transfer into microseconds of HBM traffic.
+
+    Safety is unchanged from verify_proofs_pooled: nodes gathered from
+    the pool are exactly the bytes the digests commit to (same row), and
+    the walker still checks every per-proof hash link against `roots`
+    (the reference re-hashes per proof, crypto-ops/src/lib.rs:10-13).
+
+    pool_nodes u8 [U, N], pool_lens i32 [U], pool_digests u8 [U, 32],
+    pool_idx i32 [B, D], num_nodes i32 [B], roots u8 [B, 32].
+    """
+    b, d = pool_idx.shape
+    flat = pool_idx.reshape(b * d)
+    nodes = jnp.take(pool_nodes, flat, axis=0).reshape(b, d, -1)
+    node_lens = jnp.take(pool_lens, flat).reshape(b, d)
+    digests = jnp.take(pool_digests, flat, axis=0).reshape(b, d, 32)
+    if jax.default_backend() == "tpu":
+        from .mpt_pallas import walk_batch_pallas
+
+        return walk_batch_pallas(nodes, node_lens, num_nodes, digests, roots,
+                                 key_nibbles, key_lens, max_value_len,
+                                 max_steps)
+    return walk_batch(nodes, node_lens, num_nodes, digests, roots,
+                      key_nibbles, key_lens, max_value_len, max_steps,
+                      conditional)[:3]
 
 
 @functools.partial(jax.jit,
@@ -392,4 +474,22 @@ def verify_proofs(nodes, node_lens, num_nodes, roots, key_nibbles, key_lens,
                                  max_steps)
     return walk_batch(nodes, node_lens, num_nodes, digests, roots,
                       key_nibbles, key_lens, max_value_len, max_steps,
-                      conditional)
+                      conditional)[:3]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("max_value_len", "max_steps"))
+def verify_proofs_diagnose(nodes, node_lens, num_nodes, roots, key_nibbles,
+                           key_lens, max_value_len: int = 128,
+                           max_steps: int | None = None):
+    """`verify_proofs` plus a per-proof INVALID reason channel — the
+    framework's debugging surface for the reference's distinct panic
+    messages (crypto-ops/src/lib.rs:14,22). Runs the XLA walker on every
+    backend (the fused Pallas kernel stays reason-free on the hot path).
+
+    Returns (status i32 [B], values, value_lens, reasons i32 [B]) with
+    reasons in {R_NONE, R_MALFORMED, R_BAD_CHILD_REF, R_HASH_MISMATCH,
+    R_ROOT_MISSING, R_TRUNCATED} (names: REASON_NAMES)."""
+    digests = hash_nodes(nodes, node_lens)
+    return walk_batch(nodes, node_lens, num_nodes, digests, roots,
+                      key_nibbles, key_lens, max_value_len, max_steps)

@@ -98,12 +98,17 @@ class EthTrie:
     (crypto-ops/src/lib.rs:14, trie-utils/src/proofs/transaction.rs:41-68).
     """
 
-    def __init__(self) -> None:
+    def __init__(self, hasher=None) -> None:
         self._root: Optional[_Node] = None
         self.db: dict[bytes, bytes] = {}
         # per-node encoding memo, invalidated on every insert (nodes are
         # only mutated by inserts) — makes repeated get_proof calls O(path)
         self._enc_cache: dict[int, bytes] = {}
+        # node-hash function: the pure-Python keccak by default (trusted
+        # reference); large witness generators pass native.keccak256 —
+        # digests are identical (tests/test_native.py parity), only speed
+        # differs (~1000x at 65k-account scale)
+        self._hash = hasher if hasher is not None else keccak256
 
     # -- mutation ----------------------------------------------------------
     def insert(self, key: bytes, value: bytes) -> None:
@@ -205,7 +210,7 @@ class EthTrie:
         encoded = self._encode_node(node)
         if len(encoded) < 32:
             return rlp.decode(encoded)  # embed the decoded structure in parent
-        h = keccak256(encoded)
+        h = self._hash(encoded)
         self.db[h] = encoded
         return h
 
@@ -213,7 +218,7 @@ class EthTrie:
         if self._root is None:
             return EMPTY_ROOT
         encoded = self._encode_node(self._root)
-        h = keccak256(encoded)
+        h = self._hash(encoded)
         self.db[h] = encoded
         return h
 

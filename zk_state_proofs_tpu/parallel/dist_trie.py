@@ -44,6 +44,15 @@ def _hash_level_sharded(mesh: Mesh, templates, lengths):
         shard_fn, mesh=mesh, in_specs=(P(axis), P(axis)), out_specs=P(),
         check_vma=False,
     )
+    if jax.process_count() > 1:
+        # multi-process mesh: place inputs as global arrays (each process
+        # fills only its addressable shards); the all_gather'ed output is
+        # replicated, pull it back to host numpy for the level loop
+        from .multihost import put_global
+
+        out = jax.jit(fn)(put_global(mesh, templates, P(axis)),
+                          put_global(mesh, lengths, P(axis)))
+        return np.asarray(out)[:n]
     return jax.jit(fn)(jnp.asarray(templates), jnp.asarray(lengths))[:n]
 
 

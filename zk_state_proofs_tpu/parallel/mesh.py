@@ -111,21 +111,41 @@ def verify_proofs_sharded(mesh: Mesh, packed, max_value_len: int = 128,
                           dedup: bool = True):
     """Convenience wrapper: pad the batch to the mesh size, shard, verify,
     slice back. `packed` is a witness.PackedProofs. dedup=True hashes the
-    (replicated) unique-node pool once per device."""
+    (replicated) unique-node pool once per device.
+
+    Works on multi-process meshes too (after parallel.multihost.initialize):
+    every process passes the same full packed batch; inputs are placed as
+    global arrays (each process materializes only its addressable shards)
+    and sharded outputs are allgathered back to every host."""
+    import jax as _jax
+
     n = mesh.devices.size
     b = packed.batch
+    multiproc = _jax.process_count() > 1
     active = np.ones(b, dtype=np.int32)
+    axis = mesh.axis_names[0]
     if dedup:
         pool_nodes, pool_lens, pool_idx = packed.pool()
         arrays, b = pad_batch(packed.astuple() + (active, pool_idx), n)
         fn = make_sharded_verifier(mesh, max_value_len=max_value_len,
                                    pooled=True)
-        status, values, vlens, counts = fn(
-            *arrays[:-1], pool_nodes, pool_lens, arrays[-1])
+        args = arrays[:-1] + (pool_nodes, pool_lens, arrays[-1])
+        specs = (P(axis),) * 7 + (P(), P(), P(axis))
     else:
         arrays, b = pad_batch(packed.astuple() + (active,), n)
         fn = make_sharded_verifier(mesh, max_value_len=max_value_len)
-        status, values, vlens, counts = fn(*arrays)
+        args = arrays
+        specs = (P(axis),) * 7
+    if multiproc:
+        from .multihost import put_global
+
+        args = tuple(put_global(mesh, a, s) for a, s in zip(args, specs))
+    status, values, vlens, counts = fn(*args)
+    if multiproc:
+        from .multihost import gather_to_host
+
+        status, values, vlens = (gather_to_host(x)
+                                 for x in (status, values, vlens))
     return (
         np.asarray(status)[:b],
         np.asarray(values)[:b],

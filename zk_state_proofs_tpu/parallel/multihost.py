@@ -13,6 +13,8 @@ is the net-new scale-out entry point.
 from __future__ import annotations
 
 import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def initialize(coordinator_address: str | None = None,
@@ -40,3 +42,25 @@ def topology() -> dict:
         "global_devices": len(jax.devices()),
         "backend": jax.default_backend(),
     }
+
+
+def put_global(mesh: Mesh, arr, spec) -> jax.Array:
+    """Build a global jax.Array over a (possibly multi-process) mesh from
+    host data that every process holds identically — the witness-side
+    bridge: each process computes/loads the same packed batch and this
+    places each device's shard without any cross-host transfer of the
+    full array (each process only materializes its addressable shards)."""
+    arr = np.asarray(arr)
+    sharding = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(arr.shape, sharding,
+                                        lambda idx: arr[idx])
+
+
+def gather_to_host(x) -> np.ndarray:
+    """Global (possibly cross-process sharded) array -> full host numpy on
+    every process. No-op beyond device transfer in single-process mode."""
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))

@@ -26,10 +26,14 @@ class WitnessError(ValueError):
 
 def build_transaction_trie(txs: list[dict]) -> EthTrie:
     """Insert every tx of a block at path rlp(index)
-    (reference transaction.rs:44-64)."""
+    (reference transaction.rs:44-64). Each tx is shape-validated first so
+    a malformed RPC response raises WitnessError, not a KeyError inside
+    the envelope encoder."""
+    from .models import validate_transaction
+
     trie = EthTrie()
     for i, tx in enumerate(txs):
-        trie.insert(rlp.encode_int(i), encode_transaction(tx))
+        trie.insert(rlp.encode_int(i), encode_transaction(validate_transaction(tx)))
     return trie
 
 
@@ -79,10 +83,14 @@ def get_receipt_proof_input(block: dict, receipts: list[dict], index: int) -> Me
 
 def get_account_proof_input(proof_response: dict, state_root: bytes, address: str) -> MerkleProofInput:
     """From an eth_getProof response: account witness with key =
-    keccak(address) (reference account.rs:42-55)."""
-    nodes = [_data(n) for n in proof_response["accountProof"]]
+    keccak(address) (reference account.rs:42-55). The response is parsed
+    through the typed AccountProofResult model first, so a malformed
+    shape raises WitnessError at this boundary."""
+    from .models import AccountProofResult
+
+    parsed = AccountProofResult.from_rpc(proof_response)
     return MerkleProofInput(
-        proof=nodes,
+        proof=parsed.account_proof,
         root_hash=bytes(state_root),
         key=keccak256(_data(address)),
     )
@@ -93,17 +101,19 @@ def get_storage_proof_input(
 ) -> StorageProofInput:
     """From an eth_getProof response with storage keys: the two-level
     witness. Slot keys stay RAW (hashed at verify time), the account key is
-    pre-hashed (reference storage.rs:58-77)."""
-    account_nodes = [_data(n) for n in proof_response["accountProof"]]
-    by_key = { _data(sp["key"]).rjust(32, b"\x00"): [_data(n) for n in sp["proof"]]
-               for sp in proof_response.get("storageProof", []) }
+    pre-hashed (reference storage.rs:58-77). Typed-model parsing as in
+    get_account_proof_input."""
+    from .models import AccountProofResult
+
+    parsed = AccountProofResult.from_rpc(proof_response)
+    by_key = {sp.key: sp.proof for sp in parsed.storage_proof}
     slots = [_data(k).rjust(32, b"\x00") for k in storage_keys]
     missing = [s.hex() for s in slots if s not in by_key]
     if missing:
         raise WitnessError(f"storage proofs missing for slots: {missing}")
     addr_keccak = keccak256(_data(address))
     return StorageProofInput(
-        account_proof=account_nodes,
+        account_proof=parsed.account_proof,
         storage_proofs=[by_key[s] for s in slots],
         root_hash=bytes(state_root),
         account_key=addr_keccak,

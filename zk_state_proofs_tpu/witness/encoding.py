@@ -34,12 +34,15 @@ def _qty(v) -> bytes:
 
 
 def _data(v) -> bytes:
-    """RPC hex data ('0xdeadbeef') -> bytes."""
+    """RPC hex data ('0xdeadbeef') -> bytes. Odd-length inputs (RPCs serve
+    quantity-style storage keys like '0x0') get a leading zero nibble."""
     if v is None:
         return b""
     if isinstance(v, (bytes, bytearray)):
         return bytes(v)
     s = v[2:] if v.startswith("0x") else v
+    if len(s) % 2:
+        s = "0" + s
     return bytes.fromhex(s)
 
 

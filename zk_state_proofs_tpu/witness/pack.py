@@ -63,11 +63,20 @@ class PackedProofs:
             self.key_lens,
         )
 
-    def pool(self):
-        """(pool_nodes, pool_lens, pool_idx), building them on first use."""
+    def pool(self, min_rows: int = 0):
+        """(pool_nodes, pool_lens, pool_idx), building them on first use.
+
+        min_rows pads the pool to a fixed row bucket so streamed batches
+        keep one jit shape (a varying pool size would retrace the
+        verifier per batch)."""
         if self.pool_nodes is None:
             self.pool_nodes, self.pool_lens, self.pool_idx = build_node_pool(
-                self.nodes, self.node_lens, self.num_nodes
+                self.nodes, self.node_lens, self.num_nodes, min_rows=min_rows
+            )
+        if min_rows and self.pool_nodes.shape[0] > min_rows:
+            raise PackingError(
+                f"node pool needs {self.pool_nodes.shape[0]} rows > bucket "
+                f"pool_rows={min_rows}"
             )
         return self.pool_nodes, self.pool_lens, self.pool_idx
 
@@ -138,13 +147,26 @@ def validate_node_pool(nodes, node_lens, num_nodes, pool_nodes, pool_lens,
         )
 
 
-def build_node_pool(nodes, node_lens, num_nodes, pad_multiple: int = 128):
+def build_node_pool(nodes, node_lens, num_nodes, pad_multiple: int = 128,
+                    min_rows: int = 0):
     """Deduplicate proof-node rows into a pool for single-pass hashing.
 
     Returns (pool_nodes u8 [U, N], pool_lens i32 [U], pool_idx i32 [B, D])
     with U padded to `pad_multiple` (pool row 0 is always the zero row, so
     padding rows and rows past num_nodes scatter a harmless digest).
+
+    Uses the native C++ dedup (hash-table pass over the packed rows) when
+    available — the Python per-row dict loop below is the fallback and the
+    parity reference (tests/test_native.py asserts byte-identical output).
     """
+    from .. import native as _native
+
+    if _native.available():
+        out = _native.build_node_pool_native(nodes, node_lens, num_nodes,
+                                             pad_multiple, min_rows)
+        if out is not None:
+            return out
+
     b, d, n = nodes.shape
     seen = {b"": 0}
     pool = [np.zeros(n, np.uint8)]
@@ -160,7 +182,7 @@ def build_node_pool(nodes, node_lens, num_nodes, pad_multiple: int = 128):
                 pool.append(nodes[i, j])
                 lens.append(int(node_lens[i, j]))
             idx[i, j] = at
-    u = -(-len(pool) // pad_multiple) * pad_multiple
+    u = max(-(-len(pool) // pad_multiple) * pad_multiple, min_rows)
     pool_nodes = np.zeros((u, n), np.uint8)
     pool_nodes[: len(pool)] = np.stack(pool)
     pool_lens = np.zeros(u, np.int32)
@@ -184,6 +206,18 @@ def pack_proofs(
     b = len(entries)
     if b == 0:
         raise ValueError("empty proof batch")
+
+    from .. import native as _native
+
+    if max_nodes is not None and node_len is not None and _native.available():
+        # native packer (C++) validates the bucket per proof itself —
+        # skip the Python maxima scan (it costs as much as the packing
+        # on large streamed batches)
+        packed = _native.pack_proofs_native(entries, max_nodes, node_len,
+                                            key_nibbles)
+        if packed is not None:
+            return PackedProofs(*packed)
+
     need_nodes = max((len(p) for _, p, _ in entries), default=1)
     need_len = max((len(n) for _, p, _ in entries for n in p), default=1)
     d = max_nodes if max_nodes is not None else max(need_nodes, 1)
@@ -194,8 +228,6 @@ def pack_proofs(
         raise PackingError(f"node of {need_len} bytes exceeds bucket node_len={n}")
 
     # native packer (C++) when available — same layout, one ctypes call
-    from .. import native as _native
-
     if _native.available():
         packed = _native.pack_proofs_native(entries, d, n, key_nibbles)
         if packed is not None:

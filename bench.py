@@ -57,7 +57,10 @@ def build_witness_batch(batch: int, n_accounts: int = 512):
     proofs = {k: t.get_proof(k) for k in keys}
     entries = [(root, proofs[keys[i % n_accounts]], keys[i % n_accounts])
                for i in range(batch)]
-    return pack_proofs(entries, max_nodes=6, node_len=576)
+    # pack at the batch's natural depth (4096 distinct accounts -> 7,
+    # 512-account hot trie -> 6): the walk costs one step per node row,
+    # so a shared conservative bucket would slow the shallower shape
+    return pack_proofs(entries, node_len=576)
 
 
 def bench_verify(batch=4096, iters=20, n_accounts=None, label="distinct"):

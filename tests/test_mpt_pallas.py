@@ -41,7 +41,7 @@ def test_pallas_walk_matches_xla_walker():
     packed = pack_proofs(entries)
     args = [jnp.asarray(a) for a in packed.astuple()]
     dig = mpt.hash_nodes(args[0], args[1])
-    s1, v1, l1 = mpt.walk_batch(*args[:3], dig, *args[3:], 128)
+    s1, v1, l1, _ = mpt.walk_batch(*args[:3], dig, *args[3:], 128)
     s2, v2, l2 = walk_batch_pallas(*args[:3], dig, *args[3:], 128)
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))

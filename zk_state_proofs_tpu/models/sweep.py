@@ -227,15 +227,27 @@ def sweep_entries(entry_batches, max_nodes: int, node_len: int,
             active = np.ones(packed.batch, dtype=np.int32)
             pool = packed.pool() if dedup else ()
             return packed.batch, sharded(*(packed.astuple() + (active,) + pool))[3]
-    else:
-        fn = functools.partial(
-            mpt.verify_proofs_pooled if dedup else mpt.verify_proofs,
-            max_value_len=max_value_len, max_steps=max_steps,
-        )
+    elif dedup:
+        # pool-stream: per-batch host->device transfer is the unique-node
+        # pool + row indices + per-proof scalars, never the [B, D, N]
+        # node tables (~5x fewer bytes; the relay link is the fresh-stream
+        # bottleneck at ~64 MB/s)
+        fn = functools.partial(mpt.verify_proofs_pool_stream,
+                               max_value_len=max_value_len,
+                               max_steps=max_steps)
 
         def dispatch(packed):
-            pool = packed.pool() if dedup else ()
-            return packed.batch, fn(*packed.astuple(), *pool)[0]
+            pn, pl, pi = packed.pool()
+            return packed.batch, fn(pn, pl, pi, packed.num_nodes,
+                                    packed.roots, packed.key_nibbles,
+                                    packed.key_lens)[0]
+    else:
+        fn = functools.partial(mpt.verify_proofs,
+                               max_value_len=max_value_len,
+                               max_steps=max_steps)
+
+        def dispatch(packed):
+            return packed.batch, fn(*packed.astuple())[0]
 
     # Per-batch results are reduced to counts ON DEVICE and accumulated
     # into a device-resident [3] vector; the host reads it back ONCE after

@@ -445,6 +445,31 @@ def verify_proofs_indexed(pool_nodes, pool_lens, pool_digests, pool_idx,
 
 @functools.partial(jax.jit,
                    static_argnames=("max_value_len", "max_steps", "conditional"))
+def verify_proofs_pool_stream(pool_nodes, pool_lens, pool_idx, num_nodes,
+                              roots, key_nibbles, key_lens,
+                              max_value_len: int = 128,
+                              max_steps: int | None = None,
+                              conditional: bool = True):
+    """Pooled verification where ONLY the pool crosses the host->device
+    link: the fresh-batch counterpart of verify_proofs_indexed.
+
+    verify_proofs_pooled ships both the [B, D, N] per-proof node tables
+    AND the pool; but the tables are fully determined by
+    (pool_nodes, pool_idx), so a fresh streamed batch only needs the pool
+    plus ~half a MB of per-proof scalars — on this CI's ~64 MB/s relay
+    link that cuts a 4096-proof batch from ~20 MB to ~4 MB of transfer.
+    Node bytes, digests, and gathers are materialized on device; every
+    per-proof hash link is still checked by the walker (the reference
+    re-hashes per proof, crypto-ops/src/lib.rs:10-13)."""
+    digests = hash_pool(pool_nodes, pool_lens)
+    return verify_proofs_indexed(pool_nodes, pool_lens, digests, pool_idx,
+                                 num_nodes, roots, key_nibbles, key_lens,
+                                 max_value_len=max_value_len,
+                                 max_steps=max_steps, conditional=conditional)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("max_value_len", "max_steps", "conditional"))
 def verify_proofs(nodes, node_lens, num_nodes, roots, key_nibbles, key_lens,
                   max_value_len: int = 128, max_steps: int | None = None,
                   conditional: bool = True):

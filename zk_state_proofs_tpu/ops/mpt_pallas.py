@@ -443,5 +443,5 @@ def walk_batch_pallas(nodes, node_lens, num_nodes, digests, roots,
     out = out.transpose(0, 2, 3, 1).reshape(bp, 4)[:b]
     status, vnode, vstart, vlen = out[:, 0], out[:, 1], out[:, 2], out[:, 3]
     carry = (vnode, jnp.zeros_like(vnode), jnp.zeros_like(vnode), status,
-             vnode, vstart, vlen)
+             vnode, vstart, vlen, jnp.zeros_like(status))
     return mpt_ref._extract_value(nodes[:b, :, :n], carry, max_value_len)

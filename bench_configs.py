@@ -137,9 +137,12 @@ def config4_mixed_batch(quick):
     import jax
     import jax.numpy as jnp
 
+    import secrets
+
     jargs = [jnp.asarray(a) for a in args]
     jpargs = [jnp.asarray(a) for a in pargs]
     K = 8
+    salt = secrets.randbelow(1 << 20)  # unique dispatches across reruns
 
     @jax.jit
     def step(ctr):
@@ -153,7 +156,7 @@ def config4_mixed_batch(quick):
         return jax.lax.fori_loop(
             0, K, body, (ctr, jnp.zeros((total,), jnp.int32)))
 
-    ctr, acc = step(jnp.zeros((), jnp.int32))
+    ctr, acc = step(jnp.asarray(np.int32(salt)))
     jax.block_until_ready(acc)
     t0 = time.time()
     reps = 4
@@ -204,13 +207,21 @@ def config5_sweep_with_root_reduction(quick):
     witness_s = time.time() - t0
     max_nodes = max(len(p) for p in proofs)
 
-    rng = np.random.default_rng(5)
+    import secrets
 
-    def batches(n):
-        order, pos = rng.permutation(n_accounts), 0
+    # measured sweeps are salted per process (distinct dispatch contents on
+    # every rerun — the relay content-caches duplicate dispatches); the
+    # PROBE stays on a fixed seed so the pool-row bucket (a jit shape) is
+    # stable across runs and hits the persistent compile cache
+    rng = np.random.default_rng(secrets.randbits(64))
+    probe_rng = np.random.default_rng(5)
+
+    def batches(n, r=None):
+        r = rng if r is None else r
+        order, pos = r.permutation(n_accounts), 0
         for _ in range(n):
             if pos + batch > n_accounts:
-                order, pos = rng.permutation(n_accounts), 0
+                order, pos = r.permutation(n_accounts), 0
             idx = order[pos:pos + batch]
             pos += batch
             yield [(root, proofs[i], keys[i]) for i in idx]
@@ -218,7 +229,8 @@ def config5_sweep_with_root_reduction(quick):
     # probe one batch for the fixed pool-row bucket (stable jit shape)
     from zk_state_proofs_tpu.witness import pack_proofs
 
-    probe = pack_proofs(next(batches(1)), max_nodes=max_nodes, node_len=576)
+    probe = pack_proofs(next(batches(1, probe_rng)), max_nodes=max_nodes,
+                        node_len=576)
     probe_rows = probe.pool()[0].shape[0]
     pool_rows = -(-int(probe_rows * 1.125) // 128) * 128
     dedup_ratio = float(probe.num_nodes.sum()) / max(
@@ -246,7 +258,14 @@ def config5_sweep_with_root_reduction(quick):
             yield order[pos:pos + batch].astype(np.int32)
             pos += batch
 
-    sweep_resident(gp, index_batches(1), max_steps=max_nodes)  # compile
+    # FUSED headline: the whole sweep runs as ONE dispatch (lax.scan over
+    # the stacked index table) — per-dispatch relay overhead (~20 ms
+    # dispatch+sync here) otherwise dominates the ~1 ms/batch device time
+    sweep_resident(gp, index_batches(nbatches), max_steps=max_nodes,
+                   fused=True)  # compile (distinct indices, real sweep)
+    res_fused = sweep_resident(gp, index_batches(nbatches),
+                               max_steps=max_nodes, fused=True)
+    # per-dispatch streamed-index mode, reported for the overhead breakdown
     res = sweep_resident(gp, index_batches(nbatches), max_steps=max_nodes)
     # collective trie-root reduction over a synthetic block's receipts
     fx = synthetic_block(num_txs=64 if quick else 256, seed=5)
@@ -259,18 +278,19 @@ def config5_sweep_with_root_reduction(quick):
 
         rroot, _ = compute_root(plan)
     rroot_ok = "0x" + bytes(rroot).hex() == fx["block"]["receiptsRoot"]
-    ok = (res.found == res.total and fresh.found == fresh.total and rroot_ok)
-    _emit("sweep_with_root_reduction", ok=bool(ok), proofs=res.total,
-          proofs_per_sec=round(res.proofs_per_sec, 1),
-          seconds=round(res.seconds, 2),
+    ok = (res_fused.found == res_fused.total and res.found == res.total
+          and fresh.found == fresh.total and rroot_ok)
+    _emit("sweep_with_root_reduction", ok=bool(ok), proofs=res_fused.total,
+          proofs_per_sec=round(res_fused.proofs_per_sec, 1),
+          seconds=round(res_fused.seconds, 2),
           witness_gen_seconds=round(witness_s, 2),
-          resident_pack_upload_seconds=round(res.pack_seconds, 2),
-          dispatch_seconds=round(res.dispatch_seconds, 2),
-          drain_seconds=round(res.drain_seconds, 2),
+          resident_pack_upload_seconds=round(res_fused.pack_seconds, 2),
+          stream_proofs_per_sec=round(res.proofs_per_sec, 1),
+          stream_dispatch_seconds=round(res.dispatch_seconds, 2),
           fresh_stream_proofs_per_sec=round(fresh.proofs_per_sec, 1),
           fresh_pack_seconds=round(fresh.pack_seconds, 2),
           fresh_dispatch_seconds=round(fresh.dispatch_seconds, 2),
-          batches=res.batches, accounts=n_accounts,
+          batches=res_fused.batches, accounts=n_accounts,
           pool_rows=pool_rows, dedup_ratio=round(dedup_ratio, 2),
           root_ok=bool(rroot_ok),
           devices=(mesh.devices.size if mesh is not None else 1))

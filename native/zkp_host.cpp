@@ -8,6 +8,7 @@
 //     (the data-loader path feeding ops/mpt.verify_proofs)
 // C ABI, consumed via ctypes (no pybind11 in this image).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <cstddef>
@@ -177,8 +178,10 @@ int zkp_pack_proofs(const uint8_t* node_blob, const int64_t* node_offsets,
 // to ops/mpt.verify_proofs_pooled — hash each unique node once on device,
 // where the reference re-hashes every node per proof,
 // crypto-ops/src/lib.rs:10-13). Mirrors witness/pack.build_node_pool
-// byte-for-byte, including first-encounter ordering and the reserved
-// all-zero pool row 0, so the two paths are interchangeable.
+// byte-for-byte — rows 1.. ordered by DESCENDING byte length (stable by
+// first encounter within equal lengths; keeps the Pallas keccak kernel's
+// per-tile sponge-block skip effective) with the reserved all-zero pool
+// row 0 — so the two paths are interchangeable.
 //
 // Inputs: nodes u8 [b, max_nodes, node_len] (zero-padded), node_lens i32
 // [b, max_nodes], num_nodes i32 [b]. Outputs (caller-allocated):
@@ -233,6 +236,31 @@ int zkp_build_node_pool(const uint8_t* nodes, const int32_t* node_lens,
       }
       pool_idx[i * max_nodes + j] = at;
     }
+  }
+  // Reorder rows 1..used-1 by descending length (stable: ties keep
+  // first-encounter order) and remap pool_idx. Row 0 (zero row) stays put.
+  if (used > 2) {
+    std::vector<int32_t> order(used - 1);
+    for (int i = 0; i < used - 1; ++i) order[i] = i + 1;
+    std::stable_sort(order.begin(), order.end(),
+                     [&](int32_t a, int32_t c) {
+                       return pool_lens[a] > pool_lens[c];
+                     });
+    std::vector<int32_t> inv(used, 0);
+    for (int newpos = 0; newpos < used - 1; ++newpos)
+      inv[order[newpos]] = newpos + 1;
+    std::vector<uint8_t> tmp_nodes(static_cast<size_t>(used - 1) * node_len);
+    std::vector<int32_t> tmp_lens(used - 1);
+    for (int newpos = 0; newpos < used - 1; ++newpos) {
+      const int32_t old = order[newpos];
+      std::memcpy(tmp_nodes.data() + static_cast<size_t>(newpos) * node_len,
+                  pool_nodes + static_cast<size_t>(old) * node_len, node_len);
+      tmp_lens[newpos] = pool_lens[old];
+    }
+    std::memcpy(pool_nodes + node_len, tmp_nodes.data(), tmp_nodes.size());
+    std::memcpy(pool_lens + 1, tmp_lens.data(), tmp_lens.size() * 4);
+    const int64_t total = static_cast<int64_t>(b) * max_nodes;
+    for (int64_t k = 0; k < total; ++k) pool_idx[k] = inv[pool_idx[k]];
   }
   return used;
 }

@@ -61,11 +61,14 @@ def test_native_pack_bucket_overflow():
 
 
 def test_native_node_pool_matches_python():
-    """zkp_build_node_pool must be byte-identical to the Python dict loop
-    (same first-encounter ordering, zero row 0, pad-to-128 rows)."""
+    """zkp_build_node_pool must be byte-identical to the Python fallback
+    (same stable length-descending row order, zero row 0, pad-to-128
+    rows). Compared against pack.build_node_pool with the native path
+    disabled — one source of truth for the reference semantics."""
     import numpy as np
 
     from zk_state_proofs_tpu import native
+    import zk_state_proofs_tpu.witness.pack as pack_mod
     from zk_state_proofs_tpu.oracle import EthTrie, keccak256, rlp
     from zk_state_proofs_tpu.witness import pack_proofs
 
@@ -90,30 +93,19 @@ def test_native_node_pool_matches_python():
         packed.nodes, packed.node_lens, packed.num_nodes)
     assert nat is not None
 
-    # reimplementation of the Python reference loop (pack.build_node_pool
-    # prefers the native path, so compare against the explicit fallback)
-    b, d, n = packed.nodes.shape
-    seen = {b"": 0}
-    pool = [np.zeros(n, np.uint8)]
-    lens = [0]
-    idx = np.zeros((b, d), np.int32)
-    for i in range(b):
-        for j in range(int(packed.num_nodes[i])):
-            key = packed.nodes[i, j, : packed.node_lens[i, j]].tobytes()
-            at = seen.get(key)
-            if at is None:
-                at = len(pool)
-                seen[key] = at
-                pool.append(packed.nodes[i, j])
-                lens.append(int(packed.node_lens[i, j]))
-            idx[i, j] = at
-    u = -(-len(pool) // 128) * 128
-    pn = np.zeros((u, n), np.uint8)
-    pn[: len(pool)] = np.stack(pool)
-    pl = np.zeros(u, np.int32)
-    pl[: len(lens)] = lens
+    orig = native.build_node_pool_native
+    try:
+        native.build_node_pool_native = lambda *a, **k: None
+        pn, pl, idx = pack_mod.build_node_pool(
+            packed.nodes, packed.node_lens, packed.num_nodes)
+    finally:
+        native.build_node_pool_native = orig
 
     np.testing.assert_array_equal(nat[0], pn)
     np.testing.assert_array_equal(nat[1], pl)
     np.testing.assert_array_equal(nat[2], idx)
     assert (nat[2][7] == 0).all()
+    # rows 1.. are length-sorted descending (keccak tile block-skip relies
+    # on this); row 0 stays the zero row
+    assert pl[0] == 0
+    assert (np.diff(pl[1:]) <= 0).all()

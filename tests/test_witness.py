@@ -296,3 +296,9 @@ def test_sweep_resident_and_indexed_parity():
     want_excl = sum(int((s1[sel] == mpt.EXCLUDED).sum()) for sel in sels)
     assert res.total == 128
     assert (res.found, res.excluded, res.invalid) == (want_found, want_excl, 0)
+
+    # fused mode (whole sweep as one lax.scan dispatch) must count the same
+    res_f = sweep_resident(packed, sels, fused=True)
+    assert res_f.total == 128 and res_f.batches == 4
+    assert (res_f.found, res_f.excluded, res_f.invalid) == (
+        want_found, want_excl, 0)

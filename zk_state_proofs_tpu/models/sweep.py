@@ -107,7 +107,8 @@ def replicated_batches(packed: PackedProofs, n: int):
 
 def sweep_resident(global_packed: PackedProofs, index_batches,
                    max_value_len: int = 128, max_steps=None,
-                   meter: Meter | None = None) -> SweepResult:
+                   meter: Meter | None = None,
+                   fused: bool = False) -> SweepResult:
     """Streaming sweep over a DEVICE-RESIDENT witness set.
 
     The global witness (unique-node pool + per-proof pool indices, roots,
@@ -118,8 +119,17 @@ def sweep_resident(global_packed: PackedProofs, index_batches,
     CI the host->device link (~64 MB/s relay) otherwise dominates at
     ~23 MB per 4096-proof batch.
 
+    fused=True runs the ENTIRE sweep as ONE device dispatch: all index
+    batches are stacked to an i32 [nbatches, B] table, uploaded once, and
+    a lax.scan walks the batches in-graph (per-batch table gathers +
+    verifier + count accumulation all on device). Per-dispatch overhead
+    (~1.1 ms through this CI's relay, plus a host->device index transfer
+    per batch) otherwise dominates the per-batch device time; requires
+    every batch to have the same length.
+
     pack_seconds reports the one-time pool build + upload + pool hashing;
-    dispatch_seconds the per-batch index streaming.
+    dispatch_seconds the per-batch index streaming (or the single fused
+    dispatch).
     """
     import jax
     import jax.numpy as jnp
@@ -158,6 +168,48 @@ def sweep_resident(global_packed: PackedProofs, index_batches,
         ]).astype(jnp.int32)
 
     resident = (d_pool, d_plens, d_dig, d_idx, d_num, d_roots, d_knib, d_klen)
+
+    if fused:
+        sel_all = np.stack([np.asarray(s, dtype=np.int32)
+                            for s in index_batches])  # [nb, B]
+        nbatches, bsz = sel_all.shape
+        t0 = time.time()
+        d_sel = jax.device_put(sel_all)
+
+        @functools.partial(jax.jit, static_argnames=())
+        def run(sel_all, pool, plens, dig, idx, num, roots, knib, klen):
+            def body(acc, sel):
+                status, _, _ = mpt.verify_proofs_indexed(
+                    pool, plens, dig,
+                    jnp.take(idx, sel, axis=0),
+                    jnp.take(num, sel),
+                    jnp.take(roots, sel, axis=0),
+                    jnp.take(knib, sel, axis=0),
+                    jnp.take(klen, sel),
+                    max_value_len=max_value_len, max_steps=max_steps,
+                )
+                return acc + jnp.stack([
+                    (status == mpt.FOUND).sum(),
+                    (status == mpt.EXCLUDED).sum(),
+                    (status == mpt.INVALID).sum(),
+                ]).astype(jnp.int32), None
+
+            acc, _ = jax.lax.scan(body, jnp.zeros(3, jnp.int32), sel_all)
+            return acc
+
+        td = time.time()
+        totals = np.asarray(run(d_sel, *resident)).astype(np.int64)
+        dispatch_s = time.time() - td
+        dt = time.time() - t0
+        total = nbatches * bsz
+        if meter is not None:
+            meter.record(total, 0, 0, dt)
+        return SweepResult(
+            total=total, found=int(totals[0]), excluded=int(totals[1]),
+            invalid=int(totals[2]), seconds=dt, pack_seconds=pack_s,
+            dispatch_seconds=dispatch_s, drain_seconds=0.0, batches=nbatches,
+        )
+
     total = 0
     nbatches = 0
     dispatch_s = 0.0

@@ -155,6 +155,12 @@ def build_node_pool(nodes, node_lens, num_nodes, pad_multiple: int = 128,
     with U padded to `pad_multiple` (pool row 0 is always the zero row, so
     padding rows and rows past num_nodes scatter a harmless digest).
 
+    Rows 1.. are ordered by DESCENDING byte length (stable within equal
+    lengths): the Pallas keccak kernel's sponge-block skip is per
+    1024-row tile (keccak_pallas._keccak_kernel), so grouping multi-block
+    branch nodes together lets leaf-only tiles run one permutation
+    instead of node_len//136+1.
+
     Uses the native C++ dedup (hash-table pass over the packed rows) when
     available — the Python per-row dict loop below is the fallback and the
     parity reference (tests/test_native.py asserts byte-identical output).
@@ -182,6 +188,14 @@ def build_node_pool(nodes, node_lens, num_nodes, pad_multiple: int = 128,
                 pool.append(nodes[i, j])
                 lens.append(int(node_lens[i, j]))
             idx[i, j] = at
+    # reorder rows 1.. by descending length (stable), remap idx (padding
+    # rows and empty rows keep pointing at the zero row 0)
+    order = np.argsort(-np.asarray(lens[1:], np.int64), kind="stable") + 1
+    inv = np.zeros(len(pool), np.int32)
+    inv[order] = np.arange(1, len(pool), dtype=np.int32)
+    idx = inv[idx]
+    pool = [pool[0]] + [pool[i] for i in order]
+    lens = [0] + [int(lens[i]) for i in order]
     u = max(-(-len(pool) // pad_multiple) * pad_multiple, min_rows)
     pool_nodes = np.zeros((u, n), np.uint8)
     pool_nodes[: len(pool)] = np.stack(pool)

@@ -297,8 +297,27 @@ def test_sweep_resident_and_indexed_parity():
     assert res.total == 128
     assert (res.found, res.excluded, res.invalid) == (want_found, want_excl, 0)
 
-    # fused mode (whole sweep as one lax.scan dispatch) must count the same
-    res_f = sweep_resident(packed, sels, fused=True)
-    assert res_f.total == 128 and res_f.batches == 4
-    assert (res_f.found, res_f.excluded, res_f.invalid) == (
+    # fused mode (whole sweep as one lax.scan dispatch) must count the same,
+    # in both the materialized-table and pool-gather forms
+    for materialize in (True, False):
+        res_f = sweep_resident(packed, sels, fused=True,
+                               materialize=materialize)
+        assert res_f.total == 128 and res_f.batches == 4
+        assert (res_f.found, res_f.excluded, res_f.invalid) == (
+            want_found, want_excl, 0)
+    res_m = sweep_resident(packed, sels, materialize=True)
+    assert (res_m.found, res_m.excluded, res_m.invalid) == (
         want_found, want_excl, 0)
+
+    # epoch sweep: E passes in contiguous windows, one dispatch; counts =
+    # E * (window coverage including the overlapping tail window)
+    from zk_state_proofs_tpu.models import sweep_resident_epochs
+
+    res_e = sweep_resident_epochs(packed, epochs=3, batch=24)
+    # windows: [0:24], [24:48], [40:64] (tail clamped) per epoch
+    win = np.concatenate([np.arange(0, 24), np.arange(24, 48),
+                          np.arange(40, 64)])
+    assert res_e.total == 3 * 72 and res_e.batches == 9
+    assert res_e.found == 3 * int((s1[win] == mpt.FOUND).sum())
+    assert res_e.excluded == 3 * int((s1[win] == mpt.EXCLUDED).sum())
+    assert res_e.invalid == 0

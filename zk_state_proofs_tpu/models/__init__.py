@@ -14,7 +14,7 @@ from .circuits import (
     run_storage_circuit,
 )
 from .sweep import (SweepResult, replicated_batches, sweep, sweep_entries,
-                    sweep_resident)
+                    sweep_resident, sweep_resident_epochs)
 from .verifier import (
     batch_commitment,
     diagnose_batch,
@@ -35,6 +35,7 @@ __all__ = [
     "sweep",
     "sweep_entries",
     "sweep_resident",
+    "sweep_resident_epochs",
     "batch_commitment",
     "diagnose_batch",
     "verify_account_batch",

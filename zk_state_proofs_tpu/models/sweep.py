@@ -105,53 +105,40 @@ def replicated_batches(packed: PackedProofs, n: int):
         yield packed
 
 
-def sweep_resident(global_packed: PackedProofs, index_batches,
-                   max_value_len: int = 128, max_steps=None,
-                   meter: Meter | None = None,
-                   fused: bool = False) -> SweepResult:
-    """Streaming sweep over a DEVICE-RESIDENT witness set.
+def _counts_of(status):
+    return jnp.stack([
+        (status == mpt.FOUND).sum(),
+        (status == mpt.EXCLUDED).sum(),
+        (status == mpt.INVALID).sum(),
+    ]).astype(jnp.int32)
 
-    The global witness (unique-node pool + per-proof pool indices, roots,
-    keys) is packed and uploaded ONCE; each batch then ships only the
-    proof row indices (i32 [B], ~16 KB) and every per-batch table is
-    selected and materialized on device (ops.mpt.verify_proofs_indexed).
-    This is the right shape for repeated sweeps over one trie — on this
-    CI the host->device link (~64 MB/s relay) otherwise dominates at
-    ~23 MB per 4096-proof batch.
 
-    fused=True runs the ENTIRE sweep as ONE device dispatch: all index
-    batches are stacked to an i32 [nbatches, B] table, uploaded once, and
-    a lax.scan walks the batches in-graph (per-batch table gathers +
-    verifier + count accumulation all on device). Per-dispatch overhead
-    (~1.1 ms through this CI's relay, plus a host->device index transfer
-    per batch) otherwise dominates the per-batch device time; requires
-    every batch to have the same length.
+@functools.partial(jax.jit, static_argnames=("a", "dd", "n_len"))
+def _expand_tables(pool, plens, dig, idx, *, a, dd, n_len):
+    """Materialize global per-proof tables from the unique-node pool
+    (one-time; the digests scattered here come from hashing the exact
+    same pool rows the node bytes are gathered from)."""
+    flat = idx.reshape(-1)
+    return (jnp.take(pool, flat, axis=0).reshape(a, dd, n_len),
+            jnp.take(plens, flat).reshape(a, dd),
+            jnp.take(dig, flat, axis=0).reshape(a, dd, 32))
 
-    pack_seconds reports the one-time pool build + upload + pool hashing;
-    dispatch_seconds the per-batch index streaming (or the single fused
-    dispatch).
-    """
-    import jax
-    import jax.numpy as jnp
 
-    tp = time.time()
-    pool_nodes, pool_lens, pool_idx = global_packed.pool()
-    d_pool = jax.device_put(pool_nodes)
-    d_plens = jax.device_put(pool_lens.astype(np.int32))
-    d_dig = mpt.hash_pool(d_pool, d_plens)
-    d_idx = jax.device_put(pool_idx.astype(np.int32))
-    d_num = jax.device_put(global_packed.num_nodes.astype(np.int32))
-    d_roots = jax.device_put(global_packed.roots)
-    d_knib = jax.device_put(global_packed.key_nibbles)
-    d_klen = jax.device_put(global_packed.key_lens.astype(np.int32))
-    jax.block_until_ready(d_dig)
-    pack_s = time.time() - tp
-
-    # resident arrays are jit ARGUMENTS (already on device -> zero
-    # transfer), never closure constants (those get baked into the
-    # executable)
-    @functools.partial(jax.jit, static_argnames=())
-    def step(acc, sel, pool, plens, dig, idx, num, roots, knib, klen):
+def _verify_sel(sel, resident, max_value_len, max_steps, materialized):
+    if materialized:
+        nodes, lens, digs, num, roots, knib, klen = resident
+        status, _, _ = mpt.verify_proofs_prehashed(
+            jnp.take(nodes, sel, axis=0),
+            jnp.take(lens, sel, axis=0),
+            jnp.take(num, sel),
+            jnp.take(digs, sel, axis=0),
+            jnp.take(roots, sel, axis=0),
+            jnp.take(knib, sel, axis=0),
+            jnp.take(klen, sel),
+            max_value_len=max_value_len, max_steps=max_steps,
+        )
+    else:
+        pool, plens, dig, idx, num, roots, knib, klen = resident
         status, _, _ = mpt.verify_proofs_indexed(
             pool, plens, dig,
             jnp.take(idx, sel, axis=0),
@@ -161,13 +148,98 @@ def sweep_resident(global_packed: PackedProofs, index_batches,
             jnp.take(klen, sel),
             max_value_len=max_value_len, max_steps=max_steps,
         )
-        return acc + jnp.stack([
-            (status == mpt.FOUND).sum(),
-            (status == mpt.EXCLUDED).sum(),
-            (status == mpt.INVALID).sum(),
-        ]).astype(jnp.int32)
+    return status
 
-    resident = (d_pool, d_plens, d_dig, d_idx, d_num, d_roots, d_knib, d_klen)
+
+# module-level jitted drivers: a stable function identity keeps the jit
+# trace cache warm across sweep_resident() calls (per-call closures would
+# re-trace + re-load the executable inside the measured region — seconds
+# through the remote-compile relay)
+@functools.partial(jax.jit, static_argnames=("max_value_len", "max_steps",
+                                             "materialized"))
+def _resident_step(acc, sel, *resident, max_value_len, max_steps,
+                   materialized):
+    return acc + _counts_of(_verify_sel(sel, resident, max_value_len,
+                                        max_steps, materialized))
+
+
+@functools.partial(jax.jit, static_argnames=("max_value_len", "max_steps",
+                                             "materialized"))
+def _resident_run(sel_all, *resident, max_value_len, max_steps,
+                  materialized):
+    def body(acc, sel):
+        return acc + _counts_of(_verify_sel(sel, resident, max_value_len,
+                                            max_steps, materialized)), None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros(3, jnp.int32), sel_all)
+    return acc
+
+
+def sweep_resident(global_packed: PackedProofs, index_batches,
+                   max_value_len: int = 128, max_steps=None,
+                   meter: Meter | None = None,
+                   fused: bool = False,
+                   materialize: bool | None = None) -> SweepResult:
+    """Streaming sweep over a DEVICE-RESIDENT witness set.
+
+    The global witness is packed and uploaded ONCE; each batch then ships
+    only the proof row indices (i32 [B], ~16 KB). On this CI the
+    host->device link (~64 MB/s relay) otherwise dominates at ~23 MB per
+    4096-proof batch.
+
+    materialize=True (default when the global node table fits in ~2 GB of
+    HBM) expands the pool ONCE into global per-proof tables
+    (nodes [A, D, N], lens, digests) so each batch is a take of B
+    contiguous ~4 KB proof rows + the prehashed walk
+    (ops.mpt.verify_proofs_prehashed) — measured ~4x faster on v5e than
+    per-batch pool-row gathers (28k x 576 B rows, ops.mpt.
+    verify_proofs_indexed), which remain the memory-lean fallback.
+    Hashing stays deduplicated either way: the pool is hashed exactly
+    once and digests are scattered from it.
+
+    fused=True runs the ENTIRE sweep as ONE device dispatch: all index
+    batches are stacked to an i32 [nbatches, B] table, uploaded once, and
+    a lax.scan walks the batches in-graph (per-batch table gathers +
+    verifier + count accumulation all on device). Per-dispatch overhead
+    (~20 ms dispatch+sync through this CI's relay) otherwise dominates
+    the ~1 ms/batch device time; requires every batch to have the same
+    length.
+
+    pack_seconds reports the one-time pool upload + hashing (+ global
+    table materialization); dispatch_seconds the per-batch index
+    streaming (or the single fused dispatch).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    tp = time.time()
+    pool_nodes, pool_lens, pool_idx = global_packed.pool()
+    a, dd = pool_idx.shape
+    n_len = pool_nodes.shape[1]
+    if materialize is None:
+        materialize = a * dd * n_len <= 2 << 30
+    d_pool = jax.device_put(pool_nodes)
+    d_plens = jax.device_put(pool_lens.astype(np.int32))
+    d_dig = mpt.hash_pool(d_pool, d_plens)
+    d_idx = jax.device_put(pool_idx.astype(np.int32))
+    d_num = jax.device_put(global_packed.num_nodes.astype(np.int32))
+    d_roots = jax.device_put(global_packed.roots)
+    d_knib = jax.device_put(global_packed.key_nibbles)
+    d_klen = jax.device_put(global_packed.key_lens.astype(np.int32))
+
+    if materialize:
+        g_nodes, g_lens, g_digs = _expand_tables(d_pool, d_plens, d_dig,
+                                                 d_idx, a=a, dd=dd,
+                                                 n_len=n_len)
+        jax.block_until_ready(g_digs)
+        resident = (g_nodes, g_lens, g_digs, d_num, d_roots, d_knib, d_klen)
+    else:
+        jax.block_until_ready(d_dig)
+        resident = (d_pool, d_plens, d_dig, d_idx, d_num, d_roots, d_knib,
+                    d_klen)
+    pack_s = time.time() - tp
+    statics = dict(max_value_len=max_value_len, max_steps=max_steps,
+                   materialized=materialize)
 
     if fused:
         sel_all = np.stack([np.asarray(s, dtype=np.int32)
@@ -176,29 +248,9 @@ def sweep_resident(global_packed: PackedProofs, index_batches,
         t0 = time.time()
         d_sel = jax.device_put(sel_all)
 
-        @functools.partial(jax.jit, static_argnames=())
-        def run(sel_all, pool, plens, dig, idx, num, roots, knib, klen):
-            def body(acc, sel):
-                status, _, _ = mpt.verify_proofs_indexed(
-                    pool, plens, dig,
-                    jnp.take(idx, sel, axis=0),
-                    jnp.take(num, sel),
-                    jnp.take(roots, sel, axis=0),
-                    jnp.take(knib, sel, axis=0),
-                    jnp.take(klen, sel),
-                    max_value_len=max_value_len, max_steps=max_steps,
-                )
-                return acc + jnp.stack([
-                    (status == mpt.FOUND).sum(),
-                    (status == mpt.EXCLUDED).sum(),
-                    (status == mpt.INVALID).sum(),
-                ]).astype(jnp.int32), None
-
-            acc, _ = jax.lax.scan(body, jnp.zeros(3, jnp.int32), sel_all)
-            return acc
-
         td = time.time()
-        totals = np.asarray(run(d_sel, *resident)).astype(np.int64)
+        totals = np.asarray(
+            _resident_run(d_sel, *resident, **statics)).astype(np.int64)
         dispatch_s = time.time() - td
         dt = time.time() - t0
         total = nbatches * bsz
@@ -218,7 +270,7 @@ def sweep_resident(global_packed: PackedProofs, index_batches,
     for sel in index_batches:
         sel = jnp.asarray(np.asarray(sel, dtype=np.int32))
         td = time.time()
-        acc = step(acc, sel, *resident)
+        acc = _resident_step(acc, sel, *resident, **statics)
         dispatch_s += time.time() - td
         total += sel.shape[0]
         nbatches += 1
@@ -232,6 +284,105 @@ def sweep_resident(global_packed: PackedProofs, index_batches,
         total=total, found=int(totals[0]), excluded=int(totals[1]),
         invalid=int(totals[2]), seconds=dt, pack_seconds=pack_s,
         dispatch_seconds=dispatch_s, drain_seconds=drain_s, batches=nbatches,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("epochs", "batch",
+                                             "max_value_len", "max_steps"))
+def _epoch_run(starts, ctr0, nodes, lens, digs, num, roots, knib, klen, *,
+               epochs, batch, max_value_len, max_steps):
+    dd, n_len = nodes.shape[1], nodes.shape[2]
+
+    def epoch_body(e, acc):
+        ctr = (ctr0 + e).astype(jnp.uint8)
+
+        def batch_body(acc, s0):
+            nb = jax.lax.dynamic_slice(nodes, (s0, 0, 0), (batch, dd, n_len))
+            nb = nb.at[:, :, -1].set(ctr)  # distinct work per epoch
+            status, _, _ = mpt.verify_proofs_prehashed(
+                nb,
+                jax.lax.dynamic_slice(lens, (s0, 0), (batch, dd)),
+                jax.lax.dynamic_slice(num, (s0,), (batch,)),
+                jax.lax.dynamic_slice(digs, (s0, 0, 0), (batch, dd, 32)),
+                jax.lax.dynamic_slice(roots, (s0, 0), (batch, 32)),
+                jax.lax.dynamic_slice(knib, (s0, 0), (batch, knib.shape[1])),
+                jax.lax.dynamic_slice(klen, (s0,), (batch,)),
+                max_value_len=max_value_len, max_steps=max_steps,
+            )
+            return acc + _counts_of(status), None
+
+        acc, _ = jax.lax.scan(batch_body, acc, starts)
+        return acc
+
+    # i32 accumulators: fine up to ~2.1B verified rows per call
+    return jax.lax.fori_loop(0, epochs, epoch_body, jnp.zeros(3, jnp.int32))
+
+
+def sweep_resident_epochs(global_packed: PackedProofs, epochs: int,
+                          batch: int, max_value_len: int = 128,
+                          max_steps=None, salt: int = 0,
+                          meter: Meter | None = None) -> SweepResult:
+    """Maximum-throughput resident sweep: `epochs` passes over the global
+    witness set in contiguous `batch`-row windows, ONE device dispatch.
+
+    The zero-gather formulation of the 1M-proof workload (BASELINE #5):
+    global per-proof tables are materialized once from the unique-node
+    pool (hashed once — dedup preserved), and every batch is a
+    lax.dynamic_slice at a batch boundary, so the per-batch device work
+    is the fused Pallas walk plus one contiguous copy — no row gathers
+    at all (vs ~0.57 ms/batch of takes in the permuted-access mode).
+
+    Every epoch's compute is DISTINCT work: an epoch counter (offset by
+    `salt`) is written into each node's last padding byte in-graph, so
+    neither XLA loop-invariant hoisting nor the relay's duplicate-
+    dispatch cache can skip a batch (padding bytes are masked out of the
+    walk, so statuses are unchanged — same device-carried perturbation
+    bench.py uses). The global batch count is ceil(A/batch) per epoch
+    with the tail window starting at A-batch (overlap rows re-verified;
+    totals count every window row).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    tp = time.time()
+    pool_nodes, pool_lens, pool_idx = global_packed.pool()
+    a, dd = pool_idx.shape
+    n_len = pool_nodes.shape[1]
+    if batch > a:
+        raise ValueError(f"batch {batch} exceeds global rows {a}")
+    d_pool = jax.device_put(pool_nodes)
+    d_plens = jax.device_put(pool_lens.astype(np.int32))
+    d_dig = mpt.hash_pool(d_pool, d_plens)
+    d_idx = jax.device_put(pool_idx.astype(np.int32))
+    d_num = jax.device_put(global_packed.num_nodes.astype(np.int32))
+    d_roots = jax.device_put(global_packed.roots)
+    d_knib = jax.device_put(global_packed.key_nibbles)
+    d_klen = jax.device_put(global_packed.key_lens.astype(np.int32))
+
+    g_nodes, g_lens, g_digs = _expand_tables(d_pool, d_plens, d_dig, d_idx,
+                                             a=a, dd=dd, n_len=n_len)
+    jax.block_until_ready(g_digs)
+    pack_s = time.time() - tp
+
+    per_epoch = -(-a // batch)
+    starts = np.minimum(np.arange(per_epoch) * batch, a - batch).astype(
+        np.int32)
+
+    t0 = time.time()
+    d_starts = jax.device_put(starts)
+    totals = np.asarray(_epoch_run(
+        d_starts, jnp.asarray(np.int32(salt)), g_nodes, g_lens, g_digs,
+        d_num, d_roots, d_knib, d_klen, epochs=epochs, batch=batch,
+        max_value_len=max_value_len, max_steps=max_steps))
+    dt = time.time() - t0
+    total = int(epochs * per_epoch * batch)
+    if meter is not None:
+        meter.record(total, 0, 0, dt)
+    return SweepResult(
+        total=total, found=int(totals[0]), excluded=int(totals[1]),
+        invalid=int(totals[2]), seconds=dt, pack_seconds=pack_s,
+        dispatch_seconds=dt, drain_seconds=0.0,
+        batches=epochs * per_epoch,
     )
 
 

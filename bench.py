@@ -153,6 +153,30 @@ def bench_verify(batch=4096, iters=20, n_accounts=None, label="distinct"):
     return batch / best, dedup_ratio
 
 
+def bench_resident_sweep(batch=4096, epochs=256):
+    """Secondary figure: the 1M-proof device-resident epoch sweep
+    (BASELINE config 5's zero-gather formulation) over the distinct-key
+    witness set — ONE dispatch, each epoch distinct work via the in-graph
+    padding counter, salted per process. Returns sustained proofs/s
+    including the single dispatch+sync round trip."""
+    import secrets
+
+    from zk_state_proofs_tpu.models import sweep_resident_epochs
+
+    packed = build_witness_batch(batch, batch)
+    d = packed.nodes.shape[1]
+    sweep_resident_epochs(packed, epochs=epochs, batch=batch, max_steps=d,
+                          salt=(1 << 20) + secrets.randbelow(1 << 10))
+    res = sweep_resident_epochs(packed, epochs=epochs, batch=batch,
+                                max_steps=d,
+                                salt=secrets.randbelow(1 << 20))
+    assert res.found == res.total, res
+    _log(f"resident epoch sweep: {res.total:,} proofs in {res.seconds:.3f}s"
+         f" -> {res.proofs_per_sec:,.0f} proofs/s "
+         f"(pack+upload {res.pack_seconds:.2f}s)")
+    return res.proofs_per_sec
+
+
 def bench_keccak_bucket(batch, length, iters=32):
     """One message-length bucket of the keccak diagnostic; returns
     (hashes/s, bytes/s)."""
@@ -221,6 +245,11 @@ def main():
         extras["hot_trie_dedup_ratio"] = round(hot_dedup, 2)
     except Exception as e:
         _log(f"hot-trie secondary failed: {e!r}")
+    try:
+        extras["resident_sweep_proofs_per_sec"] = round(
+            bench_resident_sweep(), 1)
+    except Exception as e:
+        _log(f"resident sweep secondary failed: {e!r}")
     try:
         bench_keccak()
     except Exception as e:  # diagnostics must never break the headline line

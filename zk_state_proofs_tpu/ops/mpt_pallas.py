@@ -135,7 +135,7 @@ def _dyn_window(arr, start_row, out_rows: int):
     return cur[:out_rows]
 
 
-def _walk_kernel(d: int, nw: int, kn: int, max_steps: int,
+def _walk_kernel(d: int, nw: int, kn: int, max_steps: int, bounded: bool,
                  words_ref, nlen_ref, nnum_ref, dig_ref, root_ref, knib_ref,
                  klen_ref, out_ref, cur_ref, curs_ref):
     RUNNING, FOUND = mpt_ref.RUNNING, mpt_ref.FOUND
@@ -173,10 +173,10 @@ def _walk_kernel(d: int, nw: int, kn: int, max_steps: int,
         jnp.where(root_ok, RUNNING, INVALID)).astype(jnp.int32)
 
     zero = jnp.zeros((TILE_SUB, TILE_LANE), jnp.int32)
-    carry = (root_idx, zero, zero, status, zero, zero, zero)
+    carry = (root_idx, zero, zero, status, zero, zero, zero, zero)
 
     def step_body(carry):
-        node_idx, off, key_pos, status, vnode, vstart, vlen = carry
+        node_idx, off, key_pos, status, vnode, vstart, vlen, ovf = carry
 
         # materialize the current node's words (+1-row shifted copy)
         for p in range(nw):
@@ -200,7 +200,54 @@ def _walk_kernel(d: int, nw: int, kn: int, max_steps: int,
         c_nib = jnp.sum(jnp.where(kiota == key_pos[None], knibs, 0), axis=0)
 
         # ---- RLP decode chain: node header + up to 17 items ----
-        hb = _fetch4(cur, curs, off)
+        if bounded:
+            # Header-aligned shifted copy (binary cascade):
+            # sh[j] = cur[off//4 + j]. Item i of any branch/pair node starts
+            # within 10 + 35*i bytes of `off` (node header <= 4 B, branch
+            # items <= 33 B, pair path item <= 35 B incl. header), so each
+            # item-header fetch only consults a static PREFIX window of sh —
+            # a bounded masked reduce instead of one over all nw word rows
+            # (the decode chain dominated step cost). Crafted nodes can
+            # break the bound (well-formed RLP with oversized items); the
+            # first out-of-window access is detected soundly (the cursor
+            # feeding the check is produced by in-window fetches), latched
+            # into the kernel's per-lane ovf output, and walk_batch_pallas
+            # re-runs the batch through the exact full-width kernel — so
+            # classification stays bit-identical to ops/mpt.walk_batch on
+            # every input. (The re-run is an XLA-level lax.cond: Mosaic
+            # cannot legalize a nested in-kernel scf.if.)
+            wp_off = jnp.clip(off, 0, nw * 4 - 1) >> 2
+            base = wp_off * 4
+            sh = _dyn_window(cur, wp_off, nw)
+            shs = jnp.concatenate(
+                [sh[1:], jnp.zeros((1, TILE_SUB, TILE_LANE), jnp.int32)],
+                axis=0)
+
+            def fetch_bounded(cursor, hi_rows: int):
+                rel = cursor - base  # >= 0: cursor >= ps >= off >= base
+                wp = jnp.clip(rel, 0, nw * 4 - 1) >> 2
+                r = rel & 3
+                hi = min(nw, hi_rows)
+                iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (hi, TILE_SUB, TILE_LANE), 0)
+                m = iota == wp[None]
+                w1 = jnp.sum(jnp.where(m, sh[:hi], 0), axis=0)
+                w2 = jnp.sum(jnp.where(m, shs[:hi], 0), axis=0)
+                b8 = list(_bytes_of_word(w1)) + list(_bytes_of_word(w2))
+                return _align4(r, b8)
+
+            # node header: clip(off) - base <= 3 -> rows 0..2 always cover
+            # it; clipping `off` (not just its word index) keeps the bytes
+            # identical to _fetch4's absolute clamp when a crafted parent
+            # pushes an inline-child offset past the buffer
+            hb = fetch_bounded(jnp.clip(off, 0, nw * 4 - 1), 3)
+            fetch_item = lambda c, i: fetch_bounded(
+                c, (10 + 35 * i + 8) // 4 + 2)
+        else:
+            hb = _fetch4(cur, curs, off)
+            base = zero
+            fetch_item = lambda c, i: _fetch4(cur, curs, c)
+
         po, plen, is_list, head_ok = _head_fields(hb)
         ps = off + po
         end = ps + plen
@@ -214,12 +261,16 @@ def _walk_kernel(d: int, nw: int, kn: int, max_steps: int,
         cursor = ps
         count = zero
         all_ok = jnp.ones((TILE_SUB, TILE_LANE), jnp.bool_)
+        live0 = status == RUNNING
         for i in range(17):
-            ib = _fetch4(cur, curs, cursor)
+            present = cursor < end
+            if bounded:
+                ovf = ovf | _i32(present & live0
+                                 & (cursor - base > 10 + 35 * i))
+            ib = fetch_item(cursor, i)
             ipo, ipl, ilist, ok = _head_fields(ib)
             ilist = _i32(ilist)
             ips = cursor + ipo
-            present = cursor < end
             if i == 0:
                 sel["i0_pay"], sel["i0_len"], sel["i0_list"] = ips, ipl, ilist
             if i == 1:
@@ -342,7 +393,7 @@ def _walk_kernel(d: int, nw: int, kn: int, max_steps: int,
         return (pick(new_node_idx, node_idx), pick(new_off, off),
                 pick(new_key_pos, key_pos), pick(new_status, status),
                 pick(new_vnode, vnode), pick(new_vstart, vstart),
-                pick(new_vlen, vlen))
+                pick(new_vlen, vlen), ovf)
 
     def step(_, carry):
         # whole-tile early exit: once every proof in the tile has resolved,
@@ -357,16 +408,19 @@ def _walk_kernel(d: int, nw: int, kn: int, max_steps: int,
     out_ref[0, 1] = carry[4]
     out_ref[0, 2] = carry[5]
     out_ref[0, 3] = carry[6]
+    out_ref[0, 4] = carry[7]  # bounded-decode overflow flag (0 if !bounded)
 
 
-@functools.partial(jax.jit, static_argnames=("max_steps",))
-def _walk_lanes(words, nlens, nnum, dig, root, knib, klen, *, max_steps: int):
+@functools.partial(jax.jit, static_argnames=("max_steps", "bounded"))
+def _walk_lanes(words, nlens, nnum, dig, root, knib, klen, *, max_steps: int,
+                bounded: bool = True):
     """words i32 [Bt, D, NW, 8, 128]; nlens [Bt, D, 8, 128];
     nnum/klen [Bt, 8, 128]; dig [Bt, D, 8, 8, 128]; root [Bt, 8, 8, 128];
-    knib [Bt, KN, 8, 128]. Returns i32 [Bt, 4, 8, 128]."""
+    knib [Bt, KN, 8, 128]. Returns i32 [Bt, 5, 8, 128] (status, vnode,
+    vstart, vlen, bounded-decode overflow flag)."""
     bt, d, nw = words.shape[0], words.shape[1], words.shape[2]
     kn = knib.shape[1]
-    kernel = functools.partial(_walk_kernel, d, nw, kn, max_steps)
+    kernel = functools.partial(_walk_kernel, d, nw, kn, max_steps, bounded)
     tile = (TILE_SUB, TILE_LANE)
     spec = lambda *lead: pl.BlockSpec(
         (1,) + lead + tile, lambda i: (i,) + (0,) * (len(lead) + 2),
@@ -383,8 +437,8 @@ def _walk_lanes(words, nlens, nnum, dig, root, knib, klen, *, max_steps: int):
             spec(kn),      # knib
             spec(),        # klen
         ],
-        out_specs=spec(4),
-        out_shape=jax.ShapeDtypeStruct((bt, 4, TILE_SUB, TILE_LANE), jnp.int32),
+        out_specs=spec(5),
+        out_shape=jax.ShapeDtypeStruct((bt, 5, TILE_SUB, TILE_LANE), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((nw, TILE_SUB, TILE_LANE), jnp.int32),  # cur
             pltpu.VMEM((nw, TILE_SUB, TILE_LANE), jnp.int32),  # curs
@@ -430,7 +484,7 @@ def walk_batch_pallas(nodes, node_lens, num_nodes, digests, roots,
         key_nibbles = jnp.pad(key_nibbles, pad + ((0, 0),))
         key_lens = jnp.pad(key_lens, pad)
     bt = bp // TILE
-    out = _walk_lanes(
+    lanes_in = (
         _lanes(_to_words(nodes), bt),
         _lanes(node_lens.astype(jnp.int32), bt),
         _lanes(num_nodes.astype(jnp.int32), bt),
@@ -438,9 +492,19 @@ def walk_batch_pallas(nodes, node_lens, num_nodes, digests, roots,
         _lanes(_to_words(roots), bt),
         _lanes(key_nibbles.astype(jnp.int32), bt),
         _lanes(key_lens.astype(jnp.int32), bt),
-        max_steps=max_steps,
-    )  # [Bt, 4, 8, 128]
-    out = out.transpose(0, 2, 3, 1).reshape(bp, 4)[:b]
+    )
+    fast = _walk_lanes(*lanes_in, max_steps=max_steps, bounded=True)
+    # Bounded-decode overflow (only reachable via crafted nodes whose
+    # well-formed RLP items exceed the branch/pair size bounds): re-run the
+    # batch through the exact full-width kernel. XLA-level cond — honest
+    # witnesses never execute the slow branch.
+    any_ovf = jnp.any(fast[:, 4] > 0)
+    out = jax.lax.cond(
+        any_ovf,
+        lambda: _walk_lanes(*lanes_in, max_steps=max_steps, bounded=False),
+        lambda: fast,
+    )  # [Bt, 5, 8, 128]
+    out = out.transpose(0, 2, 3, 1).reshape(bp, 5)[:b]
     status, vnode, vstart, vlen = out[:, 0], out[:, 1], out[:, 2], out[:, 3]
     carry = (vnode, jnp.zeros_like(vnode), jnp.zeros_like(vnode), status,
              vnode, vstart, vlen, jnp.zeros_like(status))

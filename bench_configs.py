@@ -319,10 +319,61 @@ def config5_sweep_with_root_reduction(quick):
     return ok
 
 
+def config6_distinct_1m(quick):
+    """1,048,576 FULLY DISTINCT account proofs (one per account of a
+    2^20-account trie), verified in a single-epoch resident sweep — the
+    gold-standard honesty check on config 5's epoch formulation (which
+    re-verifies a 65,536-account set 16x with distinct perturbations).
+    quick: 2^17 accounts."""
+    import secrets
+
+    from zk_state_proofs_tpu import native
+    from zk_state_proofs_tpu.models import sweep_resident_epochs
+    from zk_state_proofs_tpu.oracle import EthTrie, rlp
+    from zk_state_proofs_tpu.witness import pack_proofs
+
+    n = (1 << 17) if quick else (1 << 20)
+    t0 = time.time()
+    nk = native.keccak256
+    trie = EthTrie(hasher=nk)
+    keys = [nk(b"m-acct-%d" % i) for i in range(n)]
+    for i, k in enumerate(keys):
+        trie.insert(k, rlp.encode([
+            rlp.int_to_min_bytes(i + 1), rlp.int_to_min_bytes(10**18 + i),
+            nk(b"sr%d" % i), nk(b"ch%d" % i)]))
+    root = trie.root_hash()
+    proofs = [trie.get_proof(k) for k in keys]
+    witness_s = time.time() - t0
+    max_nodes = max(len(p) for p in proofs)
+
+    t0 = time.time()
+    order = sorted(range(n), key=lambda i: -len(proofs[i]))  # tile early exit
+    gp = pack_proofs([(root, proofs[i], keys[i]) for i in order],
+                     max_nodes=max_nodes, node_len=576)
+    gp.pool()
+    pack_s = time.time() - t0
+
+    batch = 4096
+    sweep_resident_epochs(gp, epochs=1, batch=batch, max_steps=max_nodes,
+                          salt=(1 << 20) + secrets.randbelow(1 << 10))
+    res = sweep_resident_epochs(gp, epochs=1, batch=batch,
+                                max_steps=max_nodes,
+                                salt=secrets.randbelow(1 << 20))
+    ok = res.found == res.total
+    _emit("distinct_1m_resident", ok=bool(ok), proofs=res.total,
+          proofs_per_sec=round(res.proofs_per_sec, 1),
+          seconds=round(res.seconds, 3),
+          witness_gen_seconds=round(witness_s, 1),
+          host_pack_seconds=round(pack_s, 1),
+          device_pack_upload_seconds=round(res.pack_seconds, 1),
+          accounts=n, max_depth=max_nodes, batches=res.batches)
+    return ok
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
-    ap.add_argument("--configs", default="1,2,3,4,5")
+    ap.add_argument("--configs", default="1,2,3,4,5,6")
     args = ap.parse_args()
     fns = {
         "1": config1_single_tx,
@@ -330,6 +381,7 @@ def main():
         "3": config3_receipt_trie,
         "4": config4_mixed_batch,
         "5": config5_sweep_with_root_reduction,
+        "6": config6_distinct_1m,
     }
     ok = True
     for c in args.configs.split(","):

@@ -117,21 +117,28 @@ def _counts_of(status):
 def _expand_tables(pool, plens, dig, idx, *, a, dd, n_len):
     """Materialize global per-proof tables from the unique-node pool
     (one-time; the digests scattered here come from hashing the exact
-    same pool rows the node bytes are gathered from)."""
+    same pool rows the node bytes are gathered from).
+
+    Tables stay 2-D ([A, D*N] / [A, D*32]): a [A, D, N] layout pads the
+    trailing (D, N) dims to (8, 128) tiles (1.8x HBM at D=10 — OOM at the
+    1M-proof scale), and one ~5.6 KB row per proof is also the
+    fastest gather shape (~0.12 us/row regardless of row size)."""
     flat = idx.reshape(-1)
-    return (jnp.take(pool, flat, axis=0).reshape(a, dd, n_len),
+    return (jnp.take(pool, flat, axis=0).reshape(a, dd * n_len),
             jnp.take(plens, flat).reshape(a, dd),
-            jnp.take(dig, flat, axis=0).reshape(a, dd, 32))
+            jnp.take(dig, flat, axis=0).reshape(a, dd * 32))
 
 
 def _verify_sel(sel, resident, max_value_len, max_steps, materialized):
     if materialized:
-        nodes, lens, digs, num, roots, knib, klen = resident
+        nodes2, lens, digs2, num, roots, knib, klen = resident
+        b = sel.shape[0]
+        dd = lens.shape[1]
         status, _, _ = mpt.verify_proofs_prehashed(
-            jnp.take(nodes, sel, axis=0),
+            jnp.take(nodes2, sel, axis=0).reshape(b, dd, -1),
             jnp.take(lens, sel, axis=0),
             jnp.take(num, sel),
-            jnp.take(digs, sel, axis=0),
+            jnp.take(digs2, sel, axis=0).reshape(b, dd, 32),
             jnp.take(roots, sel, axis=0),
             jnp.take(knib, sel, axis=0),
             jnp.take(klen, sel),
@@ -289,21 +296,26 @@ def sweep_resident(global_packed: PackedProofs, index_batches,
 
 @functools.partial(jax.jit, static_argnames=("epochs", "batch",
                                              "max_value_len", "max_steps"))
-def _epoch_run(starts, ctr0, nodes, lens, digs, num, roots, knib, klen, *,
+def _epoch_run(starts, ctr0, nodes2, lens, digs2, num, roots, knib, klen, *,
                epochs, batch, max_value_len, max_steps):
-    dd, n_len = nodes.shape[1], nodes.shape[2]
+    dd = lens.shape[1]
+    n_len = nodes2.shape[1] // dd
 
     def epoch_body(e, acc):
         ctr = (ctr0 + e).astype(jnp.uint8)
 
         def batch_body(acc, s0):
-            nb = jax.lax.dynamic_slice(nodes, (s0, 0, 0), (batch, dd, n_len))
+            nb = jax.lax.dynamic_slice(
+                nodes2, (s0, 0), (batch, dd * n_len)).reshape(
+                    batch, dd, n_len)
             nb = nb.at[:, :, -1].set(ctr)  # distinct work per epoch
+            digs = jax.lax.dynamic_slice(
+                digs2, (s0, 0), (batch, dd * 32)).reshape(batch, dd, 32)
             status, _, _ = mpt.verify_proofs_prehashed(
                 nb,
                 jax.lax.dynamic_slice(lens, (s0, 0), (batch, dd)),
                 jax.lax.dynamic_slice(num, (s0,), (batch,)),
-                jax.lax.dynamic_slice(digs, (s0, 0, 0), (batch, dd, 32)),
+                digs,
                 jax.lax.dynamic_slice(roots, (s0, 0), (batch, 32)),
                 jax.lax.dynamic_slice(knib, (s0, 0), (batch, knib.shape[1])),
                 jax.lax.dynamic_slice(klen, (s0,), (batch,)),

@@ -103,6 +103,126 @@ def test_single_proof_reference_semantics():
         pass
 
 
+def test_storage_grouped_matches_duplicated_form():
+    """N-slots-per-account input shape (reference StorageProofInput,
+    crypto-ops/src/types.rs:12-19): 4 unique accounts x 32 slots each.
+    Exactly 4 account verifications run (the account batch is [4], not
+    [128]), and every slot outcome is bit-identical to the duplicated
+    1:1 form."""
+    from zk_state_proofs_tpu.models import (verify_storage_grouped)
+
+    world, accounts = _build_world(n_accounts=4, slots_per=32)
+    state_root = world.root_hash()
+
+    # grouped form: one account row per unique account
+    a_entries = [(state_root, world.get_proof(keccak256(a[0])),
+                  keccak256(a[0])) for a in accounts]
+    s_entries, slot_keys, slot_accounts, expected = [], [], [], []
+    dup_a_entries = []
+    for ai, (addr, st, sroot, slots, leaf) in enumerate(accounts):
+        for slot, val in slots.items():
+            s_entries.append((sroot, st.get_proof(keccak256(slot)),
+                              keccak256(slot)))
+            slot_keys.append(slot)
+            slot_accounts.append(ai)
+            expected.append(val)
+            dup_a_entries.append(a_entries[ai])
+
+    a_packed = pack_proofs(a_entries)
+    s_packed = pack_proofs(s_entries)
+    slots_arr = np.stack([np.frombuffer(s, np.uint8) for s in slot_keys])
+    sa = np.asarray(slot_accounts, np.int32)
+
+    # the account batch really is 4 rows (one verification per account)
+    assert a_packed.batch == 4
+    res = verify_storage_grouped(a_packed, s_packed, slots_arr, sa)
+    assert res.account_status.shape == (4,)
+    assert (res.account_status == mpt.FOUND).all()
+    assert (res.slot_status == mpt.FOUND).all()
+    for i, val in enumerate(expected):
+        assert res.slot_value(i) == val, i
+    for ai, (addr, st, sroot, slots, leaf) in enumerate(accounts):
+        assert bytes(res.storage_root[ai]) == sroot
+
+    # bit-identical to the duplicated 1:1 form (unpooled parity reference)
+    dup_a = pack_proofs(dup_a_entries)
+    dup = verify_storage_batch(dup_a, s_packed, slots_arr, dedup=False)
+    np.testing.assert_array_equal(res.slot_status, dup.slot_status)
+    np.testing.assert_array_equal(res.slot_values, dup.slot_values)
+    np.testing.assert_array_equal(res.slot_value_lens, dup.slot_value_lens)
+    np.testing.assert_array_equal(res.account_status,
+                                  dup.account_status[::32][:4])
+
+    # a bad account index must be rejected on the host
+    try:
+        verify_storage_grouped(a_packed, s_packed, slots_arr,
+                               np.full(len(sa), 4, np.int32))
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_storage_grouped_bad_account_masks_its_slots_only():
+    """Tampering ONE account's proof invalidates exactly its slots."""
+    from zk_state_proofs_tpu.models import verify_storage_grouped
+
+    world, accounts = _build_world(n_accounts=3, slots_per=4)
+    state_root = world.root_hash()
+    a_entries = []
+    for ai, (addr, st, sroot, slots, leaf) in enumerate(accounts):
+        proof = world.get_proof(keccak256(addr))
+        if ai == 1:  # tamper account 1's leaf
+            proof = [bytes(p) for p in proof]
+            t = bytearray(proof[-1])
+            t[-1] ^= 1
+            proof[-1] = bytes(t)
+        a_entries.append((state_root, proof, keccak256(addr)))
+    s_entries, slot_keys, slot_accounts = [], [], []
+    for ai, (addr, st, sroot, slots, leaf) in enumerate(accounts):
+        for slot in slots:
+            s_entries.append((sroot, st.get_proof(keccak256(slot)),
+                              keccak256(slot)))
+            slot_keys.append(slot)
+            slot_accounts.append(ai)
+    res = verify_storage_grouped(
+        pack_proofs(a_entries), pack_proofs(s_entries),
+        np.stack([np.frombuffer(s, np.uint8) for s in slot_keys]),
+        np.asarray(slot_accounts, np.int32))
+    assert res.account_status[1] == mpt.INVALID
+    assert (res.account_status[[0, 2]] == mpt.FOUND).all()
+    sa = np.asarray(slot_accounts)
+    assert (res.slot_status[sa == 1] == mpt.INVALID).all()
+    assert (res.slot_status[sa != 1] == mpt.FOUND).all()
+
+
+def test_storage_batch_pooled_matches_unpooled():
+    """The pooled two-level path (dedup=True default) is bit-identical to
+    the unpooled core AND hashes fewer rows (the account batch repeats one
+    trie's prefix — the exact case dedup exists for)."""
+    world, accounts = _build_world(n_accounts=6, slots_per=4)
+    state_root = world.root_hash()
+    a_entries, s_entries, slot_keys = [], [], []
+    for addr, st, sroot, slots, leaf in accounts:
+        for slot in slots:
+            a_entries.append((state_root, world.get_proof(keccak256(addr)),
+                              keccak256(addr)))
+            s_entries.append((sroot, st.get_proof(keccak256(slot)),
+                              keccak256(slot)))
+            slot_keys.append(slot)
+    a_packed = pack_proofs(a_entries)
+    s_packed = pack_proofs(s_entries)
+    slots_arr = np.stack([np.frombuffer(s, np.uint8) for s in slot_keys])
+    pooled = verify_storage_batch(a_packed, s_packed, slots_arr)
+    plain = verify_storage_batch(a_packed, s_packed, slots_arr, dedup=False)
+    for f in ("account_status", "storage_root", "nonce", "balance",
+              "code_hash", "slot_status", "slot_values", "slot_value_lens"):
+        np.testing.assert_array_equal(getattr(pooled, f), getattr(plain, f))
+    # dedup is real: unique pool rows < total proof node rows
+    pool_rows = int((a_packed.pool()[1] > 0).sum())
+    total_rows = int(a_packed.num_nodes.sum())
+    assert pool_rows < total_rows, (pool_rows, total_rows)
+
+
 def test_verify_account_batch_decodes_fields():
     """Direct coverage for verify_account_batch (pooled path): verify a
     batch of account proofs and cross-check every decoded field against

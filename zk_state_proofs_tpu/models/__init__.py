@@ -19,11 +19,13 @@ from .verifier import (
     batch_commitment,
     diagnose_batch,
     verify_account_batch,
+    GroupedStorageVerifyResult,
     StorageVerifyResult,
     VerifyResult,
     verify_merkle_batch,
     verify_merkle_proof,
     verify_storage_batch,
+    verify_storage_grouped,
 )
 
 __all__ = [
@@ -44,9 +46,11 @@ __all__ = [
     "extract_erc20_transfers",
     "verify_block_receipts",
     "verify_block_transactions",
+    "GroupedStorageVerifyResult",
     "StorageVerifyResult",
     "VerifyResult",
     "verify_merkle_batch",
     "verify_merkle_proof",
     "verify_storage_batch",
+    "verify_storage_grouped",
 ]

@@ -26,7 +26,7 @@ from ..oracle.trie import MissingKeyError, TrieError
 from ..ops import mpt
 from ..witness.pack import pack_proofs
 from ..witness.types import MerkleProofInput, StorageProofInput
-from .verifier import verify_merkle_batch, verify_storage_batch
+from .verifier import verify_merkle_batch, verify_storage_grouped
 
 
 def run_merkle_circuit(input_bytes: bytes) -> bytes:
@@ -69,18 +69,23 @@ def run_storage_circuit(input_bytes: bytes) -> list:
     n = len(inp.storage_proofs)
     if n != len(inp.storage_keys):
         raise ValueError("storage_proofs and storage_keys length mismatch")
+    if n == 0:
+        return []
+    # ONE account row + n slot rows with a slot->account index — the
+    # reference's exact input shape (one account proof, a vector of storage
+    # proofs, crypto-ops/src/types.rs:12-19): the account is verified once,
+    # not duplicated per slot.
     a_packed = pack_proofs(
-        [(inp.root_hash, inp.account_proof, inp.address_keccak)] * max(n, 1)
+        [(inp.root_hash, inp.account_proof, inp.address_keccak)]
     )
     s_packed = pack_proofs(
         [(b"\x00" * 32, p, k) for p, k in zip(inp.storage_proofs, inp.storage_keys)]
-    ) if n else None
-    if n == 0:
-        return []
+    )
     slots = np.stack(
         [np.frombuffer(k.rjust(32, b"\x00"), np.uint8) for k in inp.storage_keys]
     )
-    res = verify_storage_batch(a_packed, s_packed, slots)
+    res = verify_storage_grouped(a_packed, s_packed, slots,
+                                 np.zeros(n, np.int32))
     if (res.account_status != mpt.FOUND).any():
         raise TrieError("invalid account proof")
     values = []

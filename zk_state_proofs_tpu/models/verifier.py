@@ -146,25 +146,30 @@ def batch_commitment(result: VerifyResult) -> bytes:
     return native.keccak256(bytes(stream)) if native.available() else _keccak(bytes(stream))
 
 
+def _slot_key_nibbles(slots):
+    """Level-2 keys on device: keccak(slot) nibble-expanded (the reference
+    hashes slots in-circuit, storage-circuit/src/main.rs:26)."""
+    if jax.default_backend() == "tpu":
+        from ..ops.keccak_pallas import keccak256_tpu as _keccak
+    else:
+        from ..ops.keccak import keccak256 as _keccak
+
+    slot_hashes = _keccak(slots)
+    s_knib = jax.vmap(bytes_to_nibbles_device)(slot_hashes)
+    s_klen = jnp.full((slots.shape[0],), 64, jnp.int32)
+    return s_knib, s_klen
+
+
 @jax.jit
 def _storage_core(a_nodes, a_lens, a_num, a_roots, a_knib, a_klen,
                   s_nodes, s_lens, s_num, slots):
-    """Fused two-level verification under one jit."""
+    """Fused two-level verification under one jit (unpooled 1:1 form —
+    the parity reference for the pooled/grouped core below)."""
     a_status, a_values, a_vlens = mpt.verify_proofs(
         a_nodes, a_lens, a_num, a_roots, a_knib, a_klen, max_value_len=128
     )
     acct = decode_account(a_values, a_vlens)
-    # level 2: key = keccak(slot), hashed on device like the reference circuit
-    if jax.default_backend() == "tpu":
-        from ..ops.keccak_pallas import keccak256_tpu as _keccak
-
-        slot_hashes = _keccak(slots)
-    else:
-        from ..ops.keccak import keccak256 as _keccak
-
-        slot_hashes = _keccak(slots)
-    s_knib = jax.vmap(bytes_to_nibbles_device)(slot_hashes)
-    s_klen = jnp.full((slots.shape[0],), 64, jnp.int32)
+    s_knib, s_klen = _slot_key_nibbles(slots)
     s_status, s_values, s_vlens = mpt.verify_proofs(
         s_nodes, s_lens, s_num, acct["storage_root"], s_knib, s_klen,
         max_value_len=64,
@@ -172,6 +177,39 @@ def _storage_core(a_nodes, a_lens, a_num, a_roots, a_knib, a_klen,
     # an invalid/absent account or undecodable leaf invalidates its slots
     account_ok = (a_status == mpt.FOUND) & acct["ok"]
     s_status = jnp.where(account_ok, s_status, mpt.INVALID)
+    return a_status, acct, s_status, s_values, s_vlens
+
+
+@jax.jit
+def _storage_core_grouped(a_nodes, a_lens, a_num, a_roots, a_knib, a_klen,
+                          a_pn, a_pl, a_pi,
+                          s_nodes, s_lens, s_num, s_pn, s_pl, s_pi,
+                          slots, slot_accounts):
+    """Grouped + pooled two-level verification under one jit.
+
+    The reference's StorageProofInput carries ONE account with a VECTOR of
+    storage proofs (crypto-ops/src/types.rs:12-19; loop
+    storage-circuit/src/main.rs:18-29). Here that shape generalizes to A
+    unique accounts and B slots with a slot->account index: each account
+    proof is verified ONCE, each slot's trusted root is the storage_root
+    decoded from its owning account (`jnp.take` by index — A is small, so
+    the [A, 32] row gather is negligible next to the walks). Hashing is
+    deduplicated on BOTH levels via the packed unique-node pools."""
+    a_status, a_values, a_vlens = mpt.verify_proofs_pooled(
+        a_nodes, a_lens, a_num, a_roots, a_knib, a_klen, a_pn, a_pl, a_pi,
+        max_value_len=128,
+    )
+    acct = decode_account(a_values, a_vlens)
+    s_knib, s_klen = _slot_key_nibbles(slots)
+    s_roots = jnp.take(acct["storage_root"], slot_accounts, axis=0)
+    s_status, s_values, s_vlens = mpt.verify_proofs_pooled(
+        s_nodes, s_lens, s_num, s_roots, s_knib, s_klen, s_pn, s_pl, s_pi,
+        max_value_len=64,
+    )
+    # an invalid/absent account or undecodable leaf invalidates its slots
+    account_ok = (a_status == mpt.FOUND) & acct["ok"]
+    s_status = jnp.where(jnp.take(account_ok, slot_accounts), s_status,
+                         mpt.INVALID)
     return a_status, acct, s_status, s_values, s_vlens
 
 
@@ -190,27 +228,114 @@ class StorageVerifyResult:
         return bytes(self.slot_values[i][: self.slot_value_lens[i]])
 
 
-def verify_storage_batch(
+@dataclass
+class GroupedStorageVerifyResult:
+    """N-slots-per-account verification outcome: account arrays are [A]
+    (one row per UNIQUE account), slot arrays are [B], and
+    `slot_accounts[j]` names the account row that owns slot j — the batch
+    analog of the reference's one-account/many-slots StorageProofInput
+    (crypto-ops/src/types.rs:12-19)."""
+
+    account_status: np.ndarray   # i32 [A]
+    storage_root: np.ndarray     # u8  [A, 32]
+    nonce: np.ndarray            # u8  [A, 8] big-endian
+    balance: np.ndarray          # u8  [A, 32] big-endian
+    code_hash: np.ndarray        # u8  [A, 32]
+    slot_accounts: np.ndarray    # i32 [B]
+    slot_status: np.ndarray      # i32 [B]
+    slot_values: np.ndarray      # u8  [B, V]
+    slot_value_lens: np.ndarray  # i32 [B]
+
+    def slot_value(self, i: int) -> bytes:
+        return bytes(self.slot_values[i][: self.slot_value_lens[i]])
+
+
+def verify_storage_grouped(
     account_packed: PackedProofs,
     storage_packed: PackedProofs,
     slots: np.ndarray,
-) -> StorageVerifyResult:
-    """Two-level account->storage verification.
+    slot_accounts: np.ndarray,
+) -> GroupedStorageVerifyResult:
+    """N-slots-per-account two-level verification (input-shape parity with
+    the reference's StorageProofInput, crypto-ops/src/types.rs:12-19).
 
-    account_packed: B account proofs (key = keccak(address), pre-hashed)
-    storage_packed: B storage proofs (key_nibbles field ignored — keys are
-                    derived on device from `slots`)
-    slots: u8 [B, 32] RAW storage slot keys (hashed in-kernel).
+    account_packed: A UNIQUE account proofs (key = keccak(address))
+    storage_packed: B storage proofs (key_nibbles ignored — derived from
+                    `slots` on device)
+    slots:          u8 [B, 32] RAW slot keys (hashed in-kernel)
+    slot_accounts:  i32 [B] index of each slot's owning account row
+
+    Each account proof is verified once (vs the duplicated 1:1 form, which
+    re-verifies it per slot); each slot's trusted root is gathered from its
+    account's decoded storage_root. Hashing is pooled on both levels.
     """
     a = account_packed
     s = storage_packed
     slots = np.asarray(slots, dtype=np.uint8)
     if slots.shape != (s.batch, 32):
         raise ValueError(f"slots must be [B, 32], got {slots.shape}")
-    a_status, acct, s_status, s_values, s_vlens = _storage_core(
+    sa = np.asarray(slot_accounts, dtype=np.int32)
+    if sa.shape != (s.batch,):
+        raise ValueError(f"slot_accounts must be [B], got {sa.shape}")
+    if sa.size and ((sa < 0).any() or (sa >= a.batch).any()):
+        raise ValueError(
+            f"slot_accounts out of range [0, {a.batch})")
+    a_status, acct, s_status, s_values, s_vlens = _storage_core_grouped(
         a.nodes, a.node_lens, a.num_nodes, a.roots, a.key_nibbles, a.key_lens,
-        s.nodes, s.node_lens, s.num_nodes, jnp.asarray(slots),
+        *a.pool(),
+        s.nodes, s.node_lens, s.num_nodes, *s.pool(),
+        jnp.asarray(slots), jnp.asarray(sa),
     )
+    return GroupedStorageVerifyResult(
+        account_status=np.asarray(a_status),
+        storage_root=np.asarray(acct["storage_root"]),
+        nonce=np.asarray(acct["nonce"]),
+        balance=np.asarray(acct["balance"]),
+        code_hash=np.asarray(acct["code_hash"]),
+        slot_accounts=sa,
+        slot_status=np.asarray(s_status),
+        slot_values=np.asarray(s_values),
+        slot_value_lens=np.asarray(s_vlens),
+    )
+
+
+def verify_storage_batch(
+    account_packed: PackedProofs,
+    storage_packed: PackedProofs,
+    slots: np.ndarray,
+    dedup: bool = True,
+) -> StorageVerifyResult:
+    """Two-level account->storage verification (1:1 account-row/slot-row).
+
+    account_packed: B account proofs (key = keccak(address), pre-hashed)
+    storage_packed: B storage proofs (key_nibbles field ignored — keys are
+                    derived on device from `slots`)
+    slots: u8 [B, 32] RAW storage slot keys (hashed in-kernel).
+
+    dedup=True (default) routes through the grouped/pooled core with an
+    identity slot->account map: both levels hash their unique-node pools
+    once (account batches repeating one trie's prefix re-hashed every row
+    before). dedup=False keeps the unpooled core (the parity reference).
+    """
+    a = account_packed
+    s = storage_packed
+    slots = np.asarray(slots, dtype=np.uint8)
+    if slots.shape != (s.batch, 32):
+        raise ValueError(f"slots must be [B, 32], got {slots.shape}")
+    if dedup:
+        a_status, acct, s_status, s_values, s_vlens = _storage_core_grouped(
+            a.nodes, a.node_lens, a.num_nodes, a.roots, a.key_nibbles,
+            a.key_lens, *a.pool(),
+            s.nodes, s.node_lens, s.num_nodes, *s.pool(),
+            jnp.asarray(slots),
+            jnp.arange(s.batch, dtype=jnp.int32),
+        )
+    else:
+        a_status, acct, s_status, s_values, s_vlens = _storage_core(
+            a.nodes, a.node_lens, a.num_nodes, a.roots, a.key_nibbles,
+            a.key_lens,
+            s.nodes, s.node_lens, s.num_nodes, jnp.asarray(slots),
+        )
     return StorageVerifyResult(
         account_status=np.asarray(a_status),
         storage_root=np.asarray(acct["storage_root"]),

@@ -129,6 +129,53 @@ def encode_transaction(tx: dict) -> bytes:
     return bytes([t]) + rlp.encode(fields)
 
 
+# block header fields in RLP order: (json-rpc name, kind). Fields after
+# `nonce` are fork-gated: encoded iff present in the block dict (EIP-1559
+# baseFeePerGas, Shanghai withdrawalsRoot, Cancun blob fields + beacon
+# root, Prague requestsHash).
+_HEADER_BASE = [
+    ("parentHash", "data"), ("sha3Uncles", "data"), ("miner", "data"),
+    ("stateRoot", "data"), ("transactionsRoot", "data"),
+    ("receiptsRoot", "data"), ("logsBloom", "data"), ("difficulty", "qty"),
+    ("number", "qty"), ("gasLimit", "qty"), ("gasUsed", "qty"),
+    ("timestamp", "qty"), ("extraData", "data"), ("mixHash", "data"),
+    ("nonce", "data"),
+]
+_HEADER_FORK = [
+    ("baseFeePerGas", "qty"), ("withdrawalsRoot", "data"),
+    ("blobGasUsed", "qty"), ("excessBlobGas", "qty"),
+    ("parentBeaconBlockRoot", "data"), ("requestsHash", "data"),
+]
+
+
+def encode_header(block: dict) -> bytes:
+    """Canonical RLP of an execution block header from an RPC-shaped block
+    dict. The header commits to transactionsRoot/receiptsRoot/stateRoot, so
+    `keccak(encode_header(block)) == block["hash"]` pins every root a
+    witness is verified against — the trust anchor the reference gets from
+    fetching pinned blocks live (trie-utils/tests/transaction.rs:12-40,
+    pinned hashes trie-utils/src/constants.rs:5-12). Anchored offline to
+    the protocol-hardcoded mainnet genesis header in
+    tests/test_golden_vectors.py."""
+    fields = []
+    for name, kind in _HEADER_BASE:
+        v = block.get(name)
+        fields.append(_qty(v) if kind == "qty" else _data(v))
+    for name, kind in _HEADER_FORK:
+        if block.get(name) is None:
+            break  # fork fields are strictly ordered; absent = pre-fork
+        v = block[name]
+        fields.append(_qty(v) if kind == "qty" else _data(v))
+    return rlp.encode(fields)
+
+
+def block_hash(block: dict) -> bytes:
+    """keccak256 of the canonically encoded header."""
+    from ..oracle import keccak256
+
+    return keccak256(encode_header(block))
+
+
 def encode_log(log: dict) -> list:
     """Log item: [address, topics, data] (reference trie-utils/src/types.rs:17-35)."""
     return [_data(log["address"]), [_data(t) for t in log.get("topics", [])], _data(log.get("data"))]

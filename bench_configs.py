@@ -268,14 +268,21 @@ def config5_sweep_with_root_reduction(quick):
     from zk_state_proofs_tpu.models import sweep_resident_epochs
 
     epochs = nbatches * batch // n_accounts
+    # on a multi-device mesh the epoch sweep itself shards: tables
+    # row-sharded, per-shard contiguous windows, counts psum'ed
+    # (BASELINE config 5's "sharded across a pod slice" shape); dp=1 on
+    # the single real chip is the unsharded path, unchanged
+    ep_mesh = mesh if (mesh is not None
+                       and n_accounts % mesh.devices.size == 0
+                       and batch % mesh.devices.size == 0) else None
     # warm with the SAME static epochs (a different count is a different
     # program; compiling inside the measured call costs seconds), and a
     # different salt so the measured dispatch is distinct work
     sweep_resident_epochs(gp, epochs=epochs, batch=batch,
-                          max_steps=max_nodes,
+                          max_steps=max_nodes, mesh=ep_mesh,
                           salt=1000 + secrets.randbelow(1000))
     res_ep = sweep_resident_epochs(gp, epochs=epochs, batch=batch,
-                                   max_steps=max_nodes,
+                                   max_steps=max_nodes, mesh=ep_mesh,
                                    salt=secrets.randbelow(1000))
     # FUSED permuted-access mode (random row access per batch, one
     # dispatch): per-dispatch relay overhead (~20 ms dispatch+sync here)
@@ -315,7 +322,7 @@ def config5_sweep_with_root_reduction(quick):
           batches=res_ep.batches, accounts=n_accounts,
           pool_rows=pool_rows, dedup_ratio=round(dedup_ratio, 2),
           root_ok=bool(rroot_ok),
-          devices=(mesh.devices.size if mesh is not None else 1))
+          devices=(ep_mesh.devices.size if ep_mesh is not None else 1))
     return ok
 
 

@@ -52,6 +52,77 @@ def test_pallas_walk_matches_xla_walker():
     assert int(np.asarray(s2)[15]) == mpt.FOUND
 
 
+def test_pallas_reason_latch_matches_xla_walker():
+    """The fused kernel's 6th output word (first-failure-class latch) must
+    agree with the XLA walker's reason channel on every failure class:
+    R_ROOT_MISSING, R_HASH_MISMATCH, R_MALFORMED, R_BAD_CHILD_REF,
+    R_TRUNCATED — and R_NONE on FOUND/EXCLUDED proofs."""
+    t = EthTrie()
+    keys = []
+    for i in range(32):
+        k = keccak256(b"reason-%d" % i)
+        t.insert(k, b"\x05" + bytes([i]) * 40)  # >=32B values: hashed children
+        keys.append(k)
+    root = t.root_hash()
+
+    entries = [(root, t.get_proof(keys[0]), keys[0])]         # FOUND
+    absent = keccak256(b"nope")
+    entries.append((root, t.get_proof(absent), absent))        # EXCLUDED
+    entries.append((b"\x13" * 32, t.get_proof(keys[1]), keys[1]))  # root missing
+    # hash mismatch: drop an inner node so a child digest resolves nowhere
+    proof = t.get_proof(keys[2])
+    assert len(proof) >= 2
+    entries.append((root, proof[:1], keys[2]))                 # hash-mismatch
+    # malformed: corrupt the referenced leaf's RLP in place (keeping its
+    # digest entry out of sync would be hash-mismatch; instead craft a
+    # 1-item list node referenced as root)
+    crafted = rlp.encode([b"\x01"])
+    entries.append((keccak256(crafted), [crafted], keys[3]))   # malformed
+    # bad child ref: branch whose chosen child is a 31-byte string
+    nib = keys[4][0] >> 4
+    branch = [b""] * 17
+    branch[nib] = b"\x07" * 31
+    crafted2 = rlp.encode(branch)
+    entries.append((keccak256(crafted2), [crafted2], keys[4]))  # bad-child-ref
+    # truncated: a self-looping extension can't happen; instead force step
+    # exhaustion with max_steps=1 on a depth>=2 proof (checked below
+    # separately against the XLA walker's R_TRUNCATED)
+
+    packed = pack_proofs(entries)
+    args = [jnp.asarray(a) for a in packed.astuple()]
+    dig = mpt.hash_nodes(args[0], args[1])
+    s1, v1, l1, r1 = mpt.walk_batch(*args[:3], dig, *args[3:], 128)
+    s2, v2, l2, r2 = walk_batch_pallas(*args[:3], dig, *args[3:], 128,
+                                       with_reasons=True)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+    r = np.asarray(r2)
+    assert r[0] == mpt.R_NONE and r[1] == mpt.R_NONE
+    assert r[2] == mpt.R_ROOT_MISSING
+    assert r[3] == mpt.R_HASH_MISMATCH
+    assert r[4] == mpt.R_MALFORMED
+    assert r[5] == mpt.R_BAD_CHILD_REF
+
+    # step exhaustion -> R_TRUNCATED on both paths
+    s1t, _, _, r1t = mpt.walk_batch(*args[:3], dig, *args[3:], 128,
+                                    max_steps=1)
+    s2t, _, _, r2t = walk_batch_pallas(*args[:3], dig, *args[3:], 128,
+                                       max_steps=1, with_reasons=True)
+    np.testing.assert_array_equal(np.asarray(r1t), np.asarray(r2t))
+    assert np.asarray(r2t)[0] == mpt.R_TRUNCATED
+
+    # diagnose_batch surfaces the same codes through the model API
+    from zk_state_proofs_tpu.models import diagnose_batch
+
+    res = diagnose_batch(packed)
+    np.testing.assert_array_equal(res.reasons, r)
+    counts = res.counts()
+    assert counts["invalid_root-missing"] == 1
+    assert counts["invalid_hash-mismatch"] == 1
+    assert counts["invalid_malformed-node"] == 1
+    assert counts["invalid_bad-child-ref"] == 1
+
+
 def test_pallas_bounded_decode_overflow_fallback():
     """Crafted well-formed-RLP nodes whose items exceed the branch/pair
     size bounds (e.g. a 2-item list with a 100-byte first item) trip the

@@ -98,3 +98,34 @@ def test_sharded_pooled_sweep_matches_unsharded():
     assert make_sharded_verifier.cache_info().hits > hits0
     assert make_sharded_verifier(mesh, max_value_len=128, pooled=True) is \
         make_sharded_verifier(mesh, max_value_len=128, pooled=True)
+
+
+def test_sharded_resident_epoch_sweep_matches_dp1():
+    """sweep_resident_epochs(mesh=...) — BASELINE config 5's sharded
+    shape: global tables row-sharded over 8 devices, per-shard contiguous
+    windows, counts psum'ed. Totals and found counts must match the dp=1
+    run exactly (same window coverage per epoch)."""
+    from zk_state_proofs_tpu.models import sweep_resident_epochs
+
+    t = EthTrie()
+    keys = [keccak256(b"rse%d" % i) for i in range(128)]
+    for i, k in enumerate(keys):
+        t.insert(k, bytes([i % 250 + 1]) * 40)
+    root = t.root_hash()
+    entries = [(root, t.get_proof(k), k) for k in keys]
+    packed = pack_proofs(entries)
+
+    mesh = make_mesh()
+    res8 = sweep_resident_epochs(packed, epochs=3, batch=32, mesh=mesh,
+                                 salt=7)
+    res1 = sweep_resident_epochs(packed, epochs=3, batch=32, salt=7)
+    assert res8.total == res1.total == 3 * 4 * 32
+    assert (res8.found, res8.excluded, res8.invalid) == \
+        (res1.found, res1.excluded, res1.invalid)
+    assert res8.found == res8.total
+
+    # shapes that don't divide the mesh are rejected
+    import pytest
+
+    with pytest.raises(ValueError):
+        sweep_resident_epochs(packed, epochs=1, batch=33, mesh=mesh)

@@ -330,10 +330,39 @@ def _epoch_run(starts, ctr0, nodes2, lens, digs2, num, roots, knib, klen, *,
     return jax.lax.fori_loop(0, epochs, epoch_body, jnp.zeros(3, jnp.int32))
 
 
+@functools.lru_cache(maxsize=None)
+def _make_sharded_epoch_run(mesh, epochs, batch_local, max_value_len,
+                            max_steps):
+    """dp-sharded wrapper of _epoch_run (memoized per (mesh, statics)):
+    global tables row-sharded over the mesh, each device sweeps its own
+    contiguous windows, per-device counts psum'ed over ICI — the
+    BASELINE-config-5 'sharded across a pod slice with collective
+    reduction' shape."""
+    import jax
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+
+    def fn(starts, ctr0, nodes2, lens, digs2, num, roots, knib, klen):
+        local = _epoch_run(starts, ctr0, nodes2, lens, digs2, num, roots,
+                           knib, klen, epochs=epochs, batch=batch_local,
+                           max_value_len=max_value_len, max_steps=max_steps)
+        return jax.lax.psum(local, axis)
+
+    shard = P(axis)
+    return jax.jit(shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(), P(), shard, shard, shard, shard, shard, shard, shard),
+        out_specs=P(), check_vma=False,
+    ))
+
+
 def sweep_resident_epochs(global_packed: PackedProofs, epochs: int,
                           batch: int, max_value_len: int = 128,
                           max_steps=None, salt: int = 0,
-                          meter: Meter | None = None) -> SweepResult:
+                          meter: Meter | None = None,
+                          mesh=None) -> SweepResult:
     """Maximum-throughput resident sweep: `epochs` passes over the global
     witness set in contiguous `batch`-row windows, ONE device dispatch.
 
@@ -352,6 +381,14 @@ def sweep_resident_epochs(global_packed: PackedProofs, epochs: int,
     bench.py uses). The global batch count is ceil(A/batch) per epoch
     with the tail window starting at A-batch (overlap rows re-verified;
     totals count every window row).
+
+    With a `mesh` (1-D, n devices), the global tables are row-sharded
+    over the mesh and each device sweeps its own A/n rows in batch/n
+    windows (contiguous dynamic-slice windows per shard — the zero-gather
+    property is preserved); per-device counts are psum'ed over ICI.
+    Requires A % n == 0 and batch % n == 0. Window coverage per epoch is
+    identical to dp=1 (each row verified once; tail overlap is per
+    shard). This is BASELINE config 5's sharded shape.
     """
     import jax
     import jax.numpy as jnp
@@ -362,6 +399,12 @@ def sweep_resident_epochs(global_packed: PackedProofs, epochs: int,
     n_len = pool_nodes.shape[1]
     if batch > a:
         raise ValueError(f"batch {batch} exceeds global rows {a}")
+    n_dev = 1
+    if mesh is not None:
+        n_dev = int(mesh.devices.size)
+        if a % n_dev or batch % n_dev:
+            raise ValueError(
+                f"rows {a} and batch {batch} must divide the mesh ({n_dev})")
     d_pool = jax.device_put(pool_nodes)
     d_plens = jax.device_put(pool_lens.astype(np.int32))
     d_dig = mpt.hash_pool(d_pool, d_plens)
@@ -373,19 +416,33 @@ def sweep_resident_epochs(global_packed: PackedProofs, epochs: int,
 
     g_nodes, g_lens, g_digs = _expand_tables(d_pool, d_plens, d_dig, d_idx,
                                              a=a, dd=dd, n_len=n_len)
-    jax.block_until_ready(g_digs)
+    tables = (g_nodes, g_lens, g_digs, d_num, d_roots, d_knib, d_klen)
+    if mesh is not None:
+        # reshard the materialized tables row-wise over the mesh
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        shard = NamedSharding(mesh, P(mesh.axis_names[0]))
+        tables = tuple(jax.device_put(t, shard) for t in tables)
+    jax.block_until_ready(tables[2])
     pack_s = time.time() - tp
 
-    per_epoch = -(-a // batch)
-    starts = np.minimum(np.arange(per_epoch) * batch, a - batch).astype(
-        np.int32)
+    a_local = a // n_dev
+    batch_local = batch // n_dev
+    per_epoch = -(-a_local // batch_local)
+    starts = np.minimum(np.arange(per_epoch) * batch_local,
+                        a_local - batch_local).astype(np.int32)
 
     t0 = time.time()
     d_starts = jax.device_put(starts)
-    totals = np.asarray(_epoch_run(
-        d_starts, jnp.asarray(np.int32(salt)), g_nodes, g_lens, g_digs,
-        d_num, d_roots, d_knib, d_klen, epochs=epochs, batch=batch,
-        max_value_len=max_value_len, max_steps=max_steps))
+    ctr0 = jnp.asarray(np.int32(salt))
+    if mesh is not None:
+        run = _make_sharded_epoch_run(mesh, epochs, batch_local,
+                                      max_value_len, max_steps)
+        totals = np.asarray(run(d_starts, ctr0, *tables))
+    else:
+        totals = np.asarray(_epoch_run(
+            d_starts, ctr0, *tables, epochs=epochs, batch=batch,
+            max_value_len=max_value_len, max_steps=max_steps))
     dt = time.time() - t0
     total = int(epochs * per_epoch * batch)
     if meter is not None:

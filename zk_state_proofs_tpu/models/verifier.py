@@ -85,9 +85,9 @@ def verify_merkle_batch(packed: PackedProofs, max_value_len: int = 128,
 
 def diagnose_batch(packed: PackedProofs, max_value_len: int = 128) -> VerifyResult:
     """verify_merkle_batch plus per-proof INVALID reason codes
-    (mpt.REASON_NAMES) — the debugging surface for witness triage. Runs
-    the XLA walker (reasons aren't tracked in the fused TPU kernel's hot
-    path), so use it on failures, not in the serving loop."""
+    (mpt.REASON_NAMES) — the debugging surface for witness triage. On TPU
+    the fused kernel carries the reason latch itself (one run); off-TPU
+    the XLA walker's reason channel serves."""
     status, values, vlens, reasons = mpt.verify_proofs_diagnose(
         *packed.astuple(), max_value_len=max_value_len
     )

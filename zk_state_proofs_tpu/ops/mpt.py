@@ -538,12 +538,20 @@ def verify_proofs_diagnose(nodes, node_lens, num_nodes, roots, key_nibbles,
                            max_steps: int | None = None):
     """`verify_proofs` plus a per-proof INVALID reason channel — the
     framework's debugging surface for the reference's distinct panic
-    messages (crypto-ops/src/lib.rs:14,22). Runs the XLA walker on every
-    backend (the fused Pallas kernel stays reason-free on the hot path).
+    messages (crypto-ops/src/lib.rs:14,22). On TPU the fused kernel
+    carries the first-failure-class latch in its 6th output word, so
+    diagnosis is one run of the hot path; elsewhere the XLA walker's
+    reason channel serves.
 
     Returns (status i32 [B], values, value_lens, reasons i32 [B]) with
     reasons in {R_NONE, R_MALFORMED, R_BAD_CHILD_REF, R_HASH_MISMATCH,
     R_ROOT_MISSING, R_TRUNCATED} (names: REASON_NAMES)."""
     digests = hash_nodes(nodes, node_lens)
+    if jax.default_backend() == "tpu":
+        from .mpt_pallas import walk_batch_pallas
+
+        return walk_batch_pallas(nodes, node_lens, num_nodes, digests, roots,
+                                 key_nibbles, key_lens, max_value_len,
+                                 max_steps, with_reasons=True)
     return walk_batch(nodes, node_lens, num_nodes, digests, roots,
                       key_nibbles, key_lens, max_value_len, max_steps)

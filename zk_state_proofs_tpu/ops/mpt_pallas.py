@@ -173,10 +173,14 @@ def _walk_kernel(d: int, nw: int, kn: int, max_steps: int, bounded: bool,
         jnp.where(root_ok, RUNNING, INVALID)).astype(jnp.int32)
 
     zero = jnp.zeros((TILE_SUB, TILE_LANE), jnp.int32)
-    carry = (root_idx, zero, zero, status, zero, zero, zero, zero)
+    # first-failure-class latch (mirrors mpt.walk_batch's reason channel):
+    # no proof node hashes to the trusted root -> R_ROOT_MISSING
+    reason0 = jnp.where(status == INVALID, mpt_ref.R_ROOT_MISSING,
+                        mpt_ref.R_NONE).astype(jnp.int32)
+    carry = (root_idx, zero, zero, status, zero, zero, zero, zero, reason0)
 
     def step_body(carry):
-        node_idx, off, key_pos, status, vnode, vstart, vlen, ovf = carry
+        node_idx, off, key_pos, status, vnode, vstart, vlen, ovf, reason = carry
 
         # materialize the current node's words (+1-row shifted copy)
         for p in range(nw):
@@ -387,13 +391,19 @@ def _walk_kernel(d: int, nw: int, kn: int, max_steps: int, bounded: bool,
         new_node_idx = jnp.where(child_hash, nxt, node_idx)
         new_off = jnp.where(child_hash, 0,
                             jnp.where(child_inline, cstart, off))
+        # diagnosable INVALID reason: first failure class that applied
+        # (mirrors mpt._step_merge's reason merge)
+        new_reason = jnp.where(
+            bad_node, mpt_ref.R_MALFORMED,
+            jnp.where(child_bad, mpt_ref.R_BAD_CHILD_REF,
+                      jnp.where(hash_fail, mpt_ref.R_HASH_MISMATCH, reason)))
 
         live = status == RUNNING
         pick = lambda new, old: jnp.where(live, new, old)
         return (pick(new_node_idx, node_idx), pick(new_off, off),
                 pick(new_key_pos, key_pos), pick(new_status, status),
                 pick(new_vnode, vnode), pick(new_vstart, vstart),
-                pick(new_vlen, vlen), ovf)
+                pick(new_vlen, vlen), ovf, pick(new_reason, reason))
 
     def step(_, carry):
         # whole-tile early exit: once every proof in the tile has resolved,
@@ -404,11 +414,14 @@ def _walk_kernel(d: int, nw: int, kn: int, max_steps: int, bounded: bool,
 
     carry = jax.lax.fori_loop(0, max_steps, step, carry)
     status = jnp.where(carry[3] == RUNNING, INVALID, carry[3]).astype(jnp.int32)
+    reasons = jnp.where(carry[3] == RUNNING, mpt_ref.R_TRUNCATED,
+                        carry[8]).astype(jnp.int32)
     out_ref[0, 0] = status
     out_ref[0, 1] = carry[4]
     out_ref[0, 2] = carry[5]
     out_ref[0, 3] = carry[6]
     out_ref[0, 4] = carry[7]  # bounded-decode overflow flag (0 if !bounded)
+    out_ref[0, 5] = reasons   # first-failure-class code (mpt.REASON_NAMES)
 
 
 @functools.partial(jax.jit, static_argnames=("max_steps", "bounded"))
@@ -416,8 +429,8 @@ def _walk_lanes(words, nlens, nnum, dig, root, knib, klen, *, max_steps: int,
                 bounded: bool = True):
     """words i32 [Bt, D, NW, 8, 128]; nlens [Bt, D, 8, 128];
     nnum/klen [Bt, 8, 128]; dig [Bt, D, 8, 8, 128]; root [Bt, 8, 8, 128];
-    knib [Bt, KN, 8, 128]. Returns i32 [Bt, 5, 8, 128] (status, vnode,
-    vstart, vlen, bounded-decode overflow flag)."""
+    knib [Bt, KN, 8, 128]. Returns i32 [Bt, 6, 8, 128] (status, vnode,
+    vstart, vlen, bounded-decode overflow flag, INVALID reason code)."""
     bt, d, nw = words.shape[0], words.shape[1], words.shape[2]
     kn = knib.shape[1]
     kernel = functools.partial(_walk_kernel, d, nw, kn, max_steps, bounded)
@@ -437,8 +450,8 @@ def _walk_lanes(words, nlens, nnum, dig, root, knib, klen, *, max_steps: int,
             spec(kn),      # knib
             spec(),        # klen
         ],
-        out_specs=spec(5),
-        out_shape=jax.ShapeDtypeStruct((bt, 5, TILE_SUB, TILE_LANE), jnp.int32),
+        out_specs=spec(6),
+        out_shape=jax.ShapeDtypeStruct((bt, 6, TILE_SUB, TILE_LANE), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((nw, TILE_SUB, TILE_LANE), jnp.int32),  # cur
             pltpu.VMEM((nw, TILE_SUB, TILE_LANE), jnp.int32),  # curs
@@ -465,8 +478,13 @@ def _lanes(a, bt):
 
 def walk_batch_pallas(nodes, node_lens, num_nodes, digests, roots,
                       key_nibbles, key_lens, max_value_len: int,
-                      max_steps: int | None = None):
-    """Drop-in for mpt.walk_batch on TPU (same inputs/outputs)."""
+                      max_steps: int | None = None,
+                      with_reasons: bool = False):
+    """Drop-in for mpt.walk_batch on TPU. Returns (status, values,
+    value_lens); with_reasons=True appends the per-proof INVALID reason
+    channel (mpt.REASON_NAMES) — carried through the kernel's 6th output
+    word, so TPU-batch triage is one run, not a fall-back to the XLA
+    walker."""
     b, d, n = nodes.shape
     if n % 4:
         nodes = jnp.pad(nodes, ((0, 0), (0, 0), (0, 4 - n % 4)))
@@ -503,9 +521,12 @@ def walk_batch_pallas(nodes, node_lens, num_nodes, digests, roots,
         any_ovf,
         lambda: _walk_lanes(*lanes_in, max_steps=max_steps, bounded=False),
         lambda: fast,
-    )  # [Bt, 5, 8, 128]
-    out = out.transpose(0, 2, 3, 1).reshape(bp, 5)[:b]
+    )  # [Bt, 6, 8, 128]
+    out = out.transpose(0, 2, 3, 1).reshape(bp, 6)[:b]
     status, vnode, vstart, vlen = out[:, 0], out[:, 1], out[:, 2], out[:, 3]
     carry = (vnode, jnp.zeros_like(vnode), jnp.zeros_like(vnode), status,
              vnode, vstart, vlen, jnp.zeros_like(status))
-    return mpt_ref._extract_value(nodes[:b, :, :n], carry, max_value_len)
+    result = mpt_ref._extract_value(nodes[:b, :, :n], carry, max_value_len)
+    if with_reasons:
+        return result + (out[:, 5],)
+    return result

@@ -74,7 +74,9 @@ def bench_verify(batch=4096, iters=20, n_accounts=None, label="distinct"):
 
     n_accounts=None -> batch distinct accounts (the headline: realistic
     per-batch node dedup); n_accounts=512 -> the hot-trie secondary shape
-    (8x repeated proofs, ~4x higher dedup). Returns (rate, dedup_ratio)."""
+    (8x repeated proofs, ~4x higher dedup). Returns (rate, dedup_ratio,
+    packed) — packed so the keccak diagnostic can hash the REAL pool
+    length mix the verifier sees."""
     import jax
     import jax.numpy as jnp
     from zk_state_proofs_tpu.ops import mpt
@@ -156,15 +158,20 @@ def bench_verify(batch=4096, iters=20, n_accounts=None, label="distinct"):
         dt = (time.time() - t0) / (iters * K_INNER)
         best = min(best, dt)
         _log(f"[{label}] rep{rep}: {dt*1e3:.2f} ms/batch -> {batch/dt:,.0f} proofs/s")
-    return batch / best, dedup_ratio
+    return batch / best, dedup_ratio, packed
 
 
 def bench_resident_sweep(batch=4096, epochs=256):
     """Secondary figure: the 1M-proof device-resident epoch sweep
     (BASELINE config 5's zero-gather formulation) over the distinct-key
     witness set — ONE dispatch, each epoch distinct work via the in-graph
-    padding counter, salted per process. Returns sustained proofs/s
-    including the single dispatch+sync round trip."""
+    padding counter, salted per process. Returns (proofs/s, shape label).
+
+    NOTE the shape: a {batch}-account witness set re-swept for {epochs}
+    epochs. bench_configs.py config 5 runs the LARGER 65,536-account x 16
+    shape (and config 6 the 2^20 fully-distinct set); those rates are not
+    interchangeable with this one — deeper witness sets walk more steps
+    per proof. Every reported number carries its shape inline."""
     import secrets
 
     from zk_state_proofs_tpu.models import sweep_resident_epochs
@@ -177,10 +184,11 @@ def bench_resident_sweep(batch=4096, epochs=256):
                                 max_steps=d,
                                 salt=secrets.randbelow(1 << 20))
     assert res.found == res.total, res
-    _log(f"resident epoch sweep: {res.total:,} proofs in {res.seconds:.3f}s"
-         f" -> {res.proofs_per_sec:,.0f} proofs/s "
+    shape = f"{batch} accounts x {epochs} epochs, depth {d}, one dispatch"
+    _log(f"resident epoch sweep [{shape}]: {res.total:,} proofs in "
+         f"{res.seconds:.3f}s -> {res.proofs_per_sec:,.0f} proofs/s "
          f"(pack+upload {res.pack_seconds:.2f}s)")
-    return res.proofs_per_sec
+    return res.proofs_per_sec, shape
 
 
 def bench_keccak_bucket(batch, length, iters=32):
@@ -220,6 +228,56 @@ def bench_keccak_bucket(batch, length, iters=32):
     return batch / best, batch * length / best
 
 
+def bench_keccak_realmix(packed, iters=64):
+    """Keccak diag on the REAL length mix the verifier hashes: the
+    headline batch's length-sorted unique-node pool (pool_lens drive the
+    sponge block counts exactly as in verify_proofs_pooled). The fixed
+    buckets below bracket the range; this is the actual workload point.
+    Perturbs byte 0 of every row (inside every real row's hashed span) so
+    each iteration is distinct work through the relay cache."""
+    import jax
+    import jax.numpy as jnp
+    from zk_state_proofs_tpu.ops.keccak_pallas import keccak256_tpu
+
+    pool_nodes, pool_lens, _ = packed.pool()
+    data = jnp.asarray(pool_nodes)
+    lens = jnp.asarray(pool_lens.astype(np.int32))
+    real_rows = int((pool_lens > 0).sum())
+    total_bytes = int(pool_lens.sum())
+    blocks = int((pool_lens // 136 + 1).sum())
+
+    K_INNER = 16
+
+    @jax.jit
+    def step(d, l, ctr):
+        def body(_, carry):
+            ctr, acc = carry
+            ctr = ctr + 1
+            out = keccak256_tpu(d.at[:, 0].set(ctr.astype(jnp.uint8)), l)
+            return ctr, acc ^ out[:, 0].astype(jnp.int32)
+        return jax.lax.fori_loop(
+            0, K_INNER, body, (ctr, jnp.zeros((d.shape[0],), jnp.int32)))
+
+    import secrets
+
+    ctr = jnp.asarray(np.int32(secrets.randbelow(1 << 20)))
+    ctr, acc = step(data, lens, ctr)
+    jax.block_until_ready(acc)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        for _ in range(max(1, iters // K_INNER)):
+            ctr, acc = step(data, lens, ctr)
+        jax.block_until_ready(acc)
+        best = min(best, (time.time() - t0) / (max(1, iters // K_INNER) * K_INNER))
+    rate = real_rows / best
+    _log(f"keccak diag [REAL pool mix: {real_rows} rows of "
+         f"{data.shape[0]} incl. padding, {total_bytes} B, {blocks} rate "
+         f"blocks]: {rate/1e6:.1f} M hashes/s/chip "
+         f"({total_bytes/best/1e9:.2f} GB/s)")
+    return rate
+
+
 def bench_keccak(batch=1 << 17):
     """Secondary diagnostic (stderr): Keccak-256 rate by rate-block count —
     BASELINE's first metric (target >= 10M single-block hashes/sec/chip).
@@ -241,21 +299,28 @@ def bench_keccak(batch=1 << 17):
 def main():
     # HEADLINE: 4096 distinct accounts over a 4096-account trie — realistic
     # per-batch node dedup (~2.5x), no repeated proofs
-    value, dedup = bench_verify(label="distinct")
+    value, dedup, packed = bench_verify(label="distinct")
     extras = {"dedup_ratio": round(dedup, 2)}
     # secondary: the hot-trie shape (512 accounts, proofs repeated 8x,
     # ~4x higher dedup) — the round-1 headline, now reported as context
     try:
-        hot, hot_dedup = bench_verify(iters=10, n_accounts=512, label="hot-trie")
+        hot, hot_dedup, _ = bench_verify(iters=10, n_accounts=512,
+                                         label="hot-trie")
         extras["hot_trie_proofs_per_sec"] = round(hot, 1)
         extras["hot_trie_dedup_ratio"] = round(hot_dedup, 2)
     except Exception as e:
         _log(f"hot-trie secondary failed: {e!r}")
     try:
-        extras["resident_sweep_proofs_per_sec"] = round(
-            bench_resident_sweep(), 1)
+        rate, shape = bench_resident_sweep()
+        extras["resident_sweep_proofs_per_sec"] = round(rate, 1)
+        extras["resident_sweep_shape"] = shape
     except Exception as e:
         _log(f"resident sweep secondary failed: {e!r}")
+    try:
+        extras["keccak_real_mix_hashes_per_sec"] = round(
+            bench_keccak_realmix(packed), 1)
+    except Exception as e:
+        _log(f"keccak real-mix diag failed: {e!r}")
     try:
         bench_keccak()
     except Exception as e:  # diagnostics must never break the headline line

@@ -117,27 +117,41 @@ def _fetch4(cur, curs, pos):
 def _dyn_window(arr, start_row, out_rows: int):
     """Binary shift cascade: rows j -> arr[start_row + j] per lane.
     arr i32 [P, 8, 128], start_row i32 [8, 128] (clamped by caller).
-    Returns [out_rows, 8, 128]; rows past P read as 0."""
+    Returns [out_rows, 8, 128]; rows past P read as 0.
+
+    Stages run with DESCENDING shift amounts and progressively truncate:
+    after the 2^b-shift stage the remaining stages move rows by at most
+    2^b - 1, so only the first out_rows + 2^b - 1 rows of each stage
+    output are live. For small windows over wide buffers (the 10-row
+    hex-prefix / expected-hash fetches over 144 word rows) this cuts the
+    cascade from P*log2(P) to ~3x fewer row-selects; full-width windows
+    (out_rows == P) are unchanged."""
     p = arr.shape[0]
     nbits = max(1, (p - 1).bit_length())
     cur = arr
     zero_row = jnp.zeros((1, TILE_SUB, TILE_LANE), jnp.int32)
-    for b in range(nbits):
+    for b in reversed(range(nbits)):
         s = 1 << b
-        if s >= p:
-            shifted = jnp.zeros_like(cur)
+        need = min(p, out_rows + s - 1)
+        base = cur[:need]
+        avail = max(cur.shape[0] - s, 0)  # rows cur[s:] provides
+        if avail <= 0:
+            shifted = jnp.zeros((need, TILE_SUB, TILE_LANE), jnp.int32)
+        elif avail >= need:
+            shifted = cur[s:s + need]
         else:
             shifted = jnp.concatenate(
-                [cur[s:], jnp.broadcast_to(zero_row, (s, TILE_SUB, TILE_LANE))],
+                [cur[s:], jnp.broadcast_to(
+                    zero_row, (need - avail, TILE_SUB, TILE_LANE))],
                 axis=0)
         take = ((start_row >> b) & 1) == 1
-        cur = jnp.where(take[None], shifted, cur)
+        cur = jnp.where(take[None], shifted, base)
     return cur[:out_rows]
 
 
 def _walk_kernel(d: int, nw: int, kn: int, max_steps: int, bounded: bool,
                  words_ref, nlen_ref, nnum_ref, dig_ref, root_ref, knib_ref,
-                 klen_ref, out_ref, cur_ref, curs_ref):
+                 klen_ref, out_ref, cur_ref, curs_ref=None):
     RUNNING, FOUND = mpt_ref.RUNNING, mpt_ref.FOUND
     EXCLUDED, INVALID = mpt_ref.EXCLUDED, mpt_ref.INVALID
     maxnib = kn
@@ -182,20 +196,29 @@ def _walk_kernel(d: int, nw: int, kn: int, max_steps: int, bounded: bool,
     def step_body(carry):
         node_idx, off, key_pos, status, vnode, vstart, vlen, ovf, reason = carry
 
-        # materialize the current node's words (+1-row shifted copy)
+        # materialize the current node's words; the node-select masks are
+        # loop-invariant over the word axis — computed once, not per row
+        is_dd = [node_idx == dd for dd in range(1, d)]
         for p in range(nw):
             w = words_ref[0, 0, p]
             for dd in range(1, d):
-                w = jnp.where(node_idx == dd, words_ref[0, dd, p], w)
+                w = jnp.where(is_dd[dd - 1], words_ref[0, dd, p], w)
             cur_ref[p] = w
-        for p in range(nw - 1):
-            curs_ref[p] = cur_ref[p + 1]
-        curs_ref[nw - 1] = zero
         blen = nlen_ref[0, 0]
         for dd in range(1, d):
-            blen = jnp.where(node_idx == dd, nlen_ref[0, dd], blen)
+            blen = jnp.where(is_dd[dd - 1], nlen_ref[0, dd], blen)
         cur = cur_ref[:]
-        curs = curs_ref[:]
+        if not bounded:
+            # the 1-row-shifted copy only feeds _fetch4 (full-width decode);
+            # the bounded path derives its shifted window from `sh` instead,
+            # so skipping these nw scratch stores saves ~nw*4 KB of VMEM
+            # traffic per step on the hot path
+            for p in range(nw - 1):
+                curs_ref[p] = cur_ref[p + 1]
+            curs_ref[nw - 1] = zero
+            curs = curs_ref[:]
+        else:
+            curs = None
 
         # next key nibble (masked reduce over the nibble axis)
         kiota = jax.lax.broadcasted_iota(
@@ -222,7 +245,14 @@ def _walk_kernel(d: int, nw: int, kn: int, max_steps: int, bounded: bool,
             # cannot legalize a nested in-kernel scf.if.)
             wp_off = jnp.clip(off, 0, nw * 4 - 1) >> 2
             base = wp_off * 4
-            sh = _dyn_window(cur, wp_off, nw)
+            # every LIVE in-bound fetch has rel <= 10 + 35*16 (the ovf
+            # latch fires past it), i.e. consults sh rows <= 143 — so for
+            # wide buckets (tx/receipt geometry, nw ~516 word rows) the sh
+            # cascade truncates at 147 rows instead of nw, more than
+            # halving the dominant per-step cascade. Narrow buckets keep
+            # the exact full width (wp may legitimately reach nw-1 there).
+            sh_rows = min(nw, (10 + 35 * 16 + 8) // 4 + 3)
+            sh = _dyn_window(cur, wp_off, sh_rows)
             shs = jnp.concatenate(
                 [sh[1:], jnp.zeros((1, TILE_SUB, TILE_LANE), jnp.int32)],
                 axis=0)
@@ -231,7 +261,7 @@ def _walk_kernel(d: int, nw: int, kn: int, max_steps: int, bounded: bool,
                 rel = cursor - base  # >= 0: cursor >= ps >= off >= base
                 wp = jnp.clip(rel, 0, nw * 4 - 1) >> 2
                 r = rel & 3
-                hi = min(nw, hi_rows)
+                hi = min(sh_rows, hi_rows)
                 iota = jax.lax.broadcasted_iota(
                     jnp.int32, (hi, TILE_SUB, TILE_LANE), 0)
                 m = iota == wp[None]
@@ -454,8 +484,9 @@ def _walk_lanes(words, nlens, nnum, dig, root, knib, klen, *, max_steps: int,
         out_shape=jax.ShapeDtypeStruct((bt, 6, TILE_SUB, TILE_LANE), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((nw, TILE_SUB, TILE_LANE), jnp.int32),  # cur
+        ] + ([] if bounded else [
             pltpu.VMEM((nw, TILE_SUB, TILE_LANE), jnp.int32),  # curs
-        ],
+        ]),
         interpret=jax.default_backend() != "tpu",
     )(words, nlens, nnum, dig, root, knib, klen)
 

@@ -29,7 +29,14 @@ from ..oracle.keccak import RATE, ROTATION_OFFSETS, ROUND_CONSTANTS
 from .keccak import bytes_to_lanes, lanes_to_bytes, pad_messages
 
 WORDS = RATE // 8  # 17 lanes absorbed per block
-TILE_SUB = 8
+# Sublane depth per kernel instance. 8 = one native (8, 128) vreg per
+# Keccak lane; 16/32 process 2/4 independent vregs per op, trading
+# register pressure for instruction-level parallelism across the VPU's
+# ALUs (the sponge is one dependent op chain per vreg). Overridable for
+# experiments via ZKP_KECCAK_TILE_SUB.
+import os as _os
+
+TILE_SUB = int(_os.environ.get("ZKP_KECCAK_TILE_SUB", "8"))
 TILE_LANE = 128
 TILE = TILE_SUB * TILE_LANE  # messages per kernel instance
 

@@ -39,7 +39,12 @@ from jax.experimental.pallas import tpu as pltpu
 from ..oracle.trie import EMPTY_ROOT
 from . import mpt as mpt_ref
 
-TILE_SUB = 8
+# Sublane depth per kernel instance (8 = one native (8, 128) vreg per
+# per-proof scalar; wider tiles add ILP at higher register pressure —
+# experiment knob, see keccak_pallas).
+import os as _os
+
+TILE_SUB = int(_os.environ.get("ZKP_WALK_TILE_SUB", "8"))
 TILE_LANE = 128
 TILE = TILE_SUB * TILE_LANE
 

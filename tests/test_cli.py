@@ -49,3 +49,22 @@ def test_committed_fixture_verifies(capsys):
     rc = main(["verify-tx", "--fixture", "fixtures/synthetic_block_64.json"])
     out = json.loads(capsys.readouterr().out)
     assert rc == 0 and out["counts"]["found"] == 64
+
+
+def test_diagnose_command(tmp_path, capsys):
+    """`diagnose` verifies a block's tx proofs and reports per-proof
+    INVALID reason codes; tampering a tx makes the rebuilt trie root
+    drift, which diagnose surfaces rather than raising."""
+    import json
+
+    fx = synthetic_block(num_txs=8, seed=41)
+    path = tmp_path / "block.json"
+    save_fixture(path, fx)
+    rc = main(["diagnose", "--fixture", str(path), "--kind", "tx"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["failures"] == []
+    assert out["counts"]["found"] == 8
+
+    rc = main(["diagnose", "--fixture", str(path), "--kind", "receipts"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["counts"]["found"] == 8

@@ -123,6 +123,41 @@ def test_pallas_reason_latch_matches_xla_walker():
     assert counts["invalid_bad-child-ref"] == 1
 
 
+def test_pallas_wide_bucket_reduced_tile_parity():
+    """Tx/receipt geometry (~2 KB nodes, nw ~520 word rows) exceeds
+    Mosaic's 16 MB scoped-VMEM budget at the default 8-sublane tile
+    (measured on v5e: 20.48M requested); walk_batch_pallas must pick a
+    narrower tile (_pick_tile_sub -> 4) and still match the XLA walker
+    bit-exactly."""
+    from zk_state_proofs_tpu.ops.mpt_pallas import _pick_tile_sub
+
+    assert _pick_tile_sub(3, 520, 8) < 8      # the measured-OOM shape
+    assert _pick_tile_sub(7, 144, 64) == 8    # headline account bucket
+    assert _pick_tile_sub(10, 144, 64) == 8   # config-6 depth-10 bucket
+                                              # (proven on-chip in round 3)
+
+    t = EthTrie()
+    keys = []
+    for i in range(48):
+        k = rlp.encode_int(i)
+        t.insert(k, b"\x44" * (1800 + 13 * i))  # ~2 KB leaf values
+        keys.append(k)
+    root = t.root_hash()
+    entries = [(root, t.get_proof(k), k) for k in keys[:3]]
+    absent = rlp.encode_int(999)
+    entries.append((root, t.get_proof(absent), absent))
+
+    packed = pack_proofs(entries, node_len=2080, key_nibbles=8)
+    args = [jnp.asarray(a) for a in packed.astuple()]
+    dig = mpt.hash_nodes(args[0], args[1])
+    s1, v1, l1, _ = mpt.walk_batch(*args[:3], dig, *args[3:], 2048)
+    s2, v2, l2 = walk_batch_pallas(*args[:3], dig, *args[3:], 2048)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    assert (np.asarray(s2)[:3] == mpt.FOUND).all()
+
+
 def test_pallas_bounded_decode_overflow_fallback():
     """Crafted well-formed-RLP nodes whose items exceed the branch/pair
     size bounds (e.g. a 2-item list with a 100-byte first item) trip the

@@ -9,6 +9,7 @@ tests; here they are first-class commands:
   python -m zk_state_proofs_tpu verify-storage  --fixture proof.json
   python -m zk_state_proofs_tpu record-block    --network ethereum --hash 0x...
   python -m zk_state_proofs_tpu record-proof    --network ethereum --address 0x... --slot 0x...
+  python -m zk_state_proofs_tpu diagnose        --fixture block.json --kind tx
   python -m zk_state_proofs_tpu selftest
 """
 
@@ -63,19 +64,22 @@ def cmd_verify_storage(args):
     from .witness import load_fixture, pack_proofs
     from .witness.builders import get_storage_proof_input
     from .witness.encoding import _data
-    from .models import verify_storage_batch
+    from .models import verify_storage_grouped
     from .ops import mpt
 
     fx = load_fixture(args.fixture)
     state_root = _data(fx["block"]["stateRoot"])
     inp = get_storage_proof_input(fx["proof"], state_root, fx["address"], fx["storageKeys"])
     b = len(inp.storage_proofs)
-    a_packed = pack_proofs([(inp.root_hash, inp.account_proof, inp.account_key)] * b)
+    # the reference's exact input shape: ONE account row, a vector of
+    # slot proofs mapped to it (crypto-ops/src/types.rs:12-19)
+    a_packed = pack_proofs([(inp.root_hash, inp.account_proof, inp.account_key)])
     s_packed = pack_proofs(
         [(b"\x00" * 32, p, k) for p, k in zip(inp.storage_proofs, inp.storage_keys)]
     )
     slots = np.stack([np.frombuffer(k, np.uint8) for k in inp.storage_keys])
-    res = verify_storage_batch(a_packed, s_packed, slots)
+    res = verify_storage_grouped(a_packed, s_packed, slots,
+                                 np.zeros(b, np.int32))
     ok = (res.account_status == mpt.FOUND).all() and (res.slot_status == mpt.FOUND).all()
     print(json.dumps({
         "account_found": bool((res.account_status == mpt.FOUND).all()),
@@ -107,6 +111,37 @@ def cmd_record_proof(args):
     record_proof_fixture(client, args.address, args.slot or [], args.tag, args.out)
     print(f"recorded {args.out}")
     return 0
+
+
+def cmd_diagnose(args):
+    """Verify a recorded block's tx or receipt proofs WITH per-proof
+    INVALID reason codes (mpt.REASON_NAMES) — the triage surface for the
+    reference's distinct panic messages (crypto-ops/src/lib.rs:14,22).
+    On TPU the reasons come from the fused kernel's in-kernel latch."""
+    from .models import diagnose_batch
+    from .ops import mpt
+    from .witness.builders import (
+        get_all_receipt_proof_inputs,
+        get_all_transaction_proof_inputs,
+    )
+    from .witness.pack import pack_proofs
+
+    block, receipts = _load_block_fixture(args.fixture)
+    if args.kind == "receipts":
+        inputs = get_all_receipt_proof_inputs(block, receipts)
+    else:
+        inputs = get_all_transaction_proof_inputs(block)
+    entries = [i.as_entry() for i in inputs]
+    node_len = max(len(n) for _, p, _ in entries for n in p)
+    packed = pack_proofs(entries, node_len=node_len, key_nibbles=8)
+    res = diagnose_batch(packed, max_value_len=node_len)
+    bad = [
+        {"index": i, "status": int(res.status[i]),
+         "reason": mpt.REASON_NAMES[int(res.reasons[i])]}
+        for i in range(len(res.status)) if res.status[i] != mpt.FOUND
+    ]
+    print(json.dumps({"counts": res.counts(), "failures": bad}))
+    return 0 if not bad else 1
 
 
 def cmd_selftest(args):
@@ -160,6 +195,11 @@ def main(argv=None) -> int:
     s.add_argument("--url")
     s.add_argument("--out", required=True)
     s.set_defaults(fn=cmd_record_proof)
+
+    s = sub.add_parser("diagnose", help="verify a block's proofs with INVALID reason codes")
+    s.add_argument("--fixture", required=True)
+    s.add_argument("--kind", default="tx", choices=["tx", "receipts"])
+    s.set_defaults(fn=cmd_diagnose)
 
     s = sub.add_parser("selftest", help="offline end-to-end check (synthetic block)")
     s.add_argument("--txs", type=int, default=16)

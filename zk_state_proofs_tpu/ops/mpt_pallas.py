@@ -96,8 +96,7 @@ def _head_fields(b):
 def _fetch_word_pair(cur, curs, wp):
     """Words cur[wp], cur[wp+1] per lane via one masked reduce each.
     cur/curs: i32 [NW, 8, 128] (curs = cur shifted down one row)."""
-    nw = cur.shape[0]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (nw, TILE_SUB, TILE_LANE), 0)
+    iota = jax.lax.broadcasted_iota(jnp.int32, cur.shape, 0)
     m = iota == wp[None]
     w1 = jnp.sum(jnp.where(m, cur, 0), axis=0)
     w2 = jnp.sum(jnp.where(m, curs, 0), axis=0)
@@ -132,22 +131,22 @@ def _dyn_window(arr, start_row, out_rows: int):
     cascade from P*log2(P) to ~3x fewer row-selects; full-width windows
     (out_rows == P) are unchanged."""
     p = arr.shape[0]
+    tile = arr.shape[1:]
     nbits = max(1, (p - 1).bit_length())
     cur = arr
-    zero_row = jnp.zeros((1, TILE_SUB, TILE_LANE), jnp.int32)
+    zero_row = jnp.zeros((1,) + tile, jnp.int32)
     for b in reversed(range(nbits)):
         s = 1 << b
         need = min(p, out_rows + s - 1)
         base = cur[:need]
         avail = max(cur.shape[0] - s, 0)  # rows cur[s:] provides
         if avail <= 0:
-            shifted = jnp.zeros((need, TILE_SUB, TILE_LANE), jnp.int32)
+            shifted = jnp.zeros((need,) + tile, jnp.int32)
         elif avail >= need:
             shifted = cur[s:s + need]
         else:
             shifted = jnp.concatenate(
-                [cur[s:], jnp.broadcast_to(
-                    zero_row, (need - avail, TILE_SUB, TILE_LANE))],
+                [cur[s:], jnp.broadcast_to(zero_row, (need - avail,) + tile)],
                 axis=0)
         take = ((start_row >> b) & 1) == 1
         cur = jnp.where(take[None], shifted, base)
@@ -163,6 +162,7 @@ def _walk_kernel(d: int, nw: int, kn: int, max_steps: int, bounded: bool,
 
     nnum = nnum_ref[0]
     klen = klen_ref[0]
+    tile = nnum.shape  # (tile_sub, 128) — sublane depth is a call choice
 
     # ---- init: locate the root node by digest ----
     root_w = [root_ref[0, w] for w in range(8)]
@@ -170,8 +170,8 @@ def _walk_kernel(d: int, nw: int, kn: int, max_steps: int, bounded: bool,
 
     def digest_find(expect_w):
         """(match_any, first_index) of expect over the d digest rows."""
-        found = jnp.zeros((TILE_SUB, TILE_LANE), jnp.bool_)
-        idx = jnp.zeros((TILE_SUB, TILE_LANE), jnp.int32)
+        found = jnp.zeros(tile, jnp.bool_)
+        idx = jnp.zeros(tile, jnp.int32)
         for dd in range(d):
             eq = dd < nnum
             for w in range(8):
@@ -182,7 +182,7 @@ def _walk_kernel(d: int, nw: int, kn: int, max_steps: int, bounded: bool,
         return found, idx
 
     root_ok, root_idx = digest_find(root_w)
-    root_is_empty = jnp.ones((TILE_SUB, TILE_LANE), jnp.bool_)
+    root_is_empty = jnp.ones(tile, jnp.bool_)
     for w in range(8):
         root_is_empty = root_is_empty & (root_w[w] == _EMPTY_ROOT_WORDS[w])
     empty_proof = nnum == 0
@@ -191,7 +191,7 @@ def _walk_kernel(d: int, nw: int, kn: int, max_steps: int, bounded: bool,
         jnp.where(root_is_empty, EXCLUDED, INVALID),
         jnp.where(root_ok, RUNNING, INVALID)).astype(jnp.int32)
 
-    zero = jnp.zeros((TILE_SUB, TILE_LANE), jnp.int32)
+    zero = jnp.zeros(tile, jnp.int32)
     # first-failure-class latch (mirrors mpt.walk_batch's reason channel):
     # no proof node hashes to the trusted root -> R_ROOT_MISSING
     reason0 = jnp.where(status == INVALID, mpt_ref.R_ROOT_MISSING,
@@ -226,8 +226,7 @@ def _walk_kernel(d: int, nw: int, kn: int, max_steps: int, bounded: bool,
             curs = None
 
         # next key nibble (masked reduce over the nibble axis)
-        kiota = jax.lax.broadcasted_iota(
-            jnp.int32, (kn, TILE_SUB, TILE_LANE), 0)
+        kiota = jax.lax.broadcasted_iota(jnp.int32, (kn,) + tile, 0)
         knibs = knib_ref[0]
         c_nib = jnp.sum(jnp.where(kiota == key_pos[None], knibs, 0), axis=0)
 
@@ -259,7 +258,7 @@ def _walk_kernel(d: int, nw: int, kn: int, max_steps: int, bounded: bool,
             sh_rows = min(nw, (10 + 35 * 16 + 8) // 4 + 3)
             sh = _dyn_window(cur, wp_off, sh_rows)
             shs = jnp.concatenate(
-                [sh[1:], jnp.zeros((1, TILE_SUB, TILE_LANE), jnp.int32)],
+                [sh[1:], jnp.zeros((1,) + tile, jnp.int32)],
                 axis=0)
 
             def fetch_bounded(cursor, hi_rows: int):
@@ -267,8 +266,7 @@ def _walk_kernel(d: int, nw: int, kn: int, max_steps: int, bounded: bool,
                 wp = jnp.clip(rel, 0, nw * 4 - 1) >> 2
                 r = rel & 3
                 hi = min(sh_rows, hi_rows)
-                iota = jax.lax.broadcasted_iota(
-                    jnp.int32, (hi, TILE_SUB, TILE_LANE), 0)
+                iota = jax.lax.broadcasted_iota(jnp.int32, (hi,) + tile, 0)
                 m = iota == wp[None]
                 w1 = jnp.sum(jnp.where(m, sh[:hi], 0), axis=0)
                 w2 = jnp.sum(jnp.where(m, shs[:hi], 0), axis=0)
@@ -299,7 +297,7 @@ def _walk_kernel(d: int, nw: int, kn: int, max_steps: int, bounded: bool,
         }
         cursor = ps
         count = zero
-        all_ok = jnp.ones((TILE_SUB, TILE_LANE), jnp.bool_)
+        all_ok = jnp.ones(tile, jnp.bool_)
         live0 = status == RUNNING
         for i in range(17):
             present = cursor < end
@@ -356,7 +354,7 @@ def _walk_kernel(d: int, nw: int, kn: int, max_steps: int, bounded: bool,
                  & ((odd == 1) | ((b0 & 0x0F) == 0)))
         n_path = 2 * (p0l - 1) + odd
         kwin = _dyn_window(knibs, key_pos, maxnib)
-        nib_match = jnp.ones((TILE_SUB, TILE_LANE), jnp.bool_)
+        nib_match = jnp.ones(tile, jnp.bool_)
         for j in range(maxnib):
             pn = jnp.where(odd == 1, pnibs[1 + j], pnibs[2 + j])
             nib_match = nib_match & ((j >= n_path) | (pn == kwin[j]))
@@ -462,14 +460,17 @@ def _walk_kernel(d: int, nw: int, kn: int, max_steps: int, bounded: bool,
 @functools.partial(jax.jit, static_argnames=("max_steps", "bounded"))
 def _walk_lanes(words, nlens, nnum, dig, root, knib, klen, *, max_steps: int,
                 bounded: bool = True):
-    """words i32 [Bt, D, NW, 8, 128]; nlens [Bt, D, 8, 128];
-    nnum/klen [Bt, 8, 128]; dig [Bt, D, 8, 8, 128]; root [Bt, 8, 8, 128];
-    knib [Bt, KN, 8, 128]. Returns i32 [Bt, 6, 8, 128] (status, vnode,
-    vstart, vlen, bounded-decode overflow flag, INVALID reason code)."""
+    """words i32 [Bt, D, NW, S, 128]; nlens [Bt, D, S, 128];
+    nnum/klen [Bt, S, 128]; dig [Bt, D, 8, S, 128]; root [Bt, 8, S, 128];
+    knib [Bt, KN, S, 128]. S is the sublane tile depth (8 by default;
+    reduced for wide buckets — see _pick_tile_sub). Returns i32
+    [Bt, 6, S, 128] (status, vnode, vstart, vlen, bounded-decode overflow
+    flag, INVALID reason code)."""
     bt, d, nw = words.shape[0], words.shape[1], words.shape[2]
     kn = knib.shape[1]
+    sub = words.shape[3]
     kernel = functools.partial(_walk_kernel, d, nw, kn, max_steps, bounded)
-    tile = (TILE_SUB, TILE_LANE)
+    tile = (sub, TILE_LANE)
     spec = lambda *lead: pl.BlockSpec(
         (1,) + lead + tile, lambda i: (i,) + (0,) * (len(lead) + 2),
         memory_space=pltpu.VMEM)
@@ -486,11 +487,11 @@ def _walk_lanes(words, nlens, nnum, dig, root, knib, klen, *, max_steps: int,
             spec(),        # klen
         ],
         out_specs=spec(6),
-        out_shape=jax.ShapeDtypeStruct((bt, 6, TILE_SUB, TILE_LANE), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((bt, 6) + tile, jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((nw, TILE_SUB, TILE_LANE), jnp.int32),  # cur
+            pltpu.VMEM((nw,) + tile, jnp.int32),  # cur
         ] + ([] if bounded else [
-            pltpu.VMEM((nw, TILE_SUB, TILE_LANE), jnp.int32),  # curs
+            pltpu.VMEM((nw,) + tile, jnp.int32),  # curs
         ]),
         interpret=jax.default_backend() != "tpu",
     )(words, nlens, nnum, dig, root, knib, klen)
@@ -504,12 +505,29 @@ def _to_words(bytes_arr):
     return (w[..., 0] << 24) | (w[..., 1] << 16) | (w[..., 2] << 8) | w[..., 3]
 
 
-def _lanes(a, bt):
-    """[B, ...] -> [Bt, ..., 8, 128] (B = bt*1024, lanes innermost)."""
+def _lanes(a, bt, sub=TILE_SUB):
+    """[B, ...] -> [Bt, ..., sub, 128] (B = bt*sub*128, lanes innermost)."""
     rest = a.shape[1:]
-    a = a.reshape((bt, TILE_SUB, TILE_LANE) + rest)
+    a = a.reshape((bt, sub, TILE_LANE) + rest)
     order = (0,) + tuple(range(3, 3 + len(rest))) + (1, 2)
     return a.transpose(order)
+
+
+def _pick_tile_sub(d: int, nw: int, kn: int) -> int:
+    """Largest sublane depth whose kernel instance fits Mosaic's 16 MB
+    scoped-VMEM budget. The dominant allocations scale with the tile-row
+    count: double-buffered word inputs (2*d*nw), the cur scratch (nw),
+    the sh/shs decode windows (2*min(nw, 147)), and the digest/key tiles
+    (2*(8d + kn)). Calibrated on v5e measurements: (d=10, nw=144, kn=64)
+    = 3600 rows compiles at sub=8 (round-3 config 6); (d=3, nw=521,
+    kn=8) = 4005 rows is rejected at sub=8 (scoped 20.48M > 16M limit) —
+    tx/receipt geometry (~2 KB nodes) runs at sub=4, trading per-instance
+    width for twice the grid steps."""
+    rows = 2 * d * nw + nw + 2 * min(nw, 147) + 2 * (8 * d + kn)
+    sub = TILE_SUB
+    while sub > 1 and rows * sub > 3600 * 8:
+        sub //= 2
+    return max(sub, 1)
 
 
 def walk_batch_pallas(nodes, node_lens, num_nodes, digests, roots,
@@ -527,7 +545,9 @@ def walk_batch_pallas(nodes, node_lens, num_nodes, digests, roots,
     kn = key_nibbles.shape[1]
     if max_steps is None:
         max_steps = d + 6
-    bp = -(-b // TILE) * TILE
+    sub = _pick_tile_sub(d, nodes.shape[2] // 4, kn)
+    tile = sub * TILE_LANE
+    bp = -(-b // tile) * tile
     if bp != b:
         pad = ((0, bp - b),)
         nodes = jnp.pad(nodes, pad + ((0, 0), (0, 0)))
@@ -537,15 +557,15 @@ def walk_batch_pallas(nodes, node_lens, num_nodes, digests, roots,
         roots = jnp.pad(roots, pad + ((0, 0),))
         key_nibbles = jnp.pad(key_nibbles, pad + ((0, 0),))
         key_lens = jnp.pad(key_lens, pad)
-    bt = bp // TILE
+    bt = bp // tile
     lanes_in = (
-        _lanes(_to_words(nodes), bt),
-        _lanes(node_lens.astype(jnp.int32), bt),
-        _lanes(num_nodes.astype(jnp.int32), bt),
-        _lanes(_to_words(digests), bt),
-        _lanes(_to_words(roots), bt),
-        _lanes(key_nibbles.astype(jnp.int32), bt),
-        _lanes(key_lens.astype(jnp.int32), bt),
+        _lanes(_to_words(nodes), bt, sub),
+        _lanes(node_lens.astype(jnp.int32), bt, sub),
+        _lanes(num_nodes.astype(jnp.int32), bt, sub),
+        _lanes(_to_words(digests), bt, sub),
+        _lanes(_to_words(roots), bt, sub),
+        _lanes(key_nibbles.astype(jnp.int32), bt, sub),
+        _lanes(key_lens.astype(jnp.int32), bt, sub),
     )
     fast = _walk_lanes(*lanes_in, max_steps=max_steps, bounded=True)
     # Bounded-decode overflow (only reachable via crafted nodes whose

@@ -1,0 +1,75 @@
+"""Serving layer: warm bucket-pinned BatchVerifier."""
+
+import numpy as np
+import pytest
+
+from zk_state_proofs_tpu.models import BatchVerifier
+from zk_state_proofs_tpu.ops import mpt
+from zk_state_proofs_tpu.oracle import EthTrie, keccak256
+from zk_state_proofs_tpu.utils.config import BucketConfig
+from zk_state_proofs_tpu.witness.pack import PackingError
+
+
+def _trie(n=96, tag=b"svc"):
+    t = EthTrie()
+    keys = [keccak256(tag + b"-%d" % i) for i in range(n)]
+    for i, k in enumerate(keys):
+        t.insert(k, b"\x02" + bytes([i % 251]) * 40)
+    return t, keys
+
+
+def test_service_verify_pads_and_slices():
+    t, keys = _trie()
+    root = t.root_hash()
+    svc = BatchVerifier(BucketConfig.account(), batch_size=128)
+    svc.warmup()
+
+    # 70-entry request in a 128-wide pinned batch: results sliced to 70
+    entries = [(root, t.get_proof(k), k) for k in keys[:69]]
+    absent = keccak256(b"nope")
+    entries.append((root, t.get_proof(absent), absent))
+    res = svc.verify(entries)
+    assert len(res.status) == 70
+    assert (res.status[:69] == mpt.FOUND).all()
+    assert res.status[69] == mpt.EXCLUDED
+    assert res.value(0) == b"\x02" + bytes([0]) * 40
+
+    # stats accumulate across requests
+    res2 = svc.verify(entries[:10])
+    assert (res2.status == mpt.FOUND).all()
+    assert svc.stats.batches == 2
+    assert svc.stats.proofs == 80
+    assert svc.stats.found == 79 and svc.stats.excluded == 1
+
+    # a second service call reuses the pinned-jit shape: the pool bucket
+    # derived at warmup must hold for later batches
+    assert svc.pool_rows > 0
+
+
+def test_service_rejects_oversized_batches_and_proofs():
+    t, keys = _trie(8)
+    root = t.root_hash()
+    svc = BatchVerifier(BucketConfig.account(), batch_size=4)
+    with pytest.raises(PackingError):
+        svc.verify([(root, t.get_proof(k), k) for k in keys[:5]])
+    tiny = BatchVerifier(
+        BucketConfig(max_nodes=1, node_len=64, key_nibbles=64,
+                     max_value_len=64), batch_size=4)
+    with pytest.raises(PackingError):
+        tiny.verify([(root, t.get_proof(keys[0]), keys[0])])
+
+
+def test_service_sharded_matches_unsharded():
+    from zk_state_proofs_tpu.parallel import make_mesh
+
+    t, keys = _trie(64, tag=b"svc8")
+    root = t.root_hash()
+    entries = [(root, t.get_proof(k), k) for k in keys]
+    plain = BatchVerifier(BucketConfig.account(), batch_size=64)
+    sharded = BatchVerifier(BucketConfig.account(), batch_size=64,
+                            mesh=make_mesh())
+    r1 = plain.verify(entries)
+    r2 = sharded.verify(entries)
+    np.testing.assert_array_equal(r1.status, r2.status)
+    np.testing.assert_array_equal(r1.values, r2.values)
+    np.testing.assert_array_equal(r1.value_lens, r2.value_lens)

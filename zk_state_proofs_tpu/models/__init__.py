@@ -13,6 +13,7 @@ from .circuits import (
     run_merkle_circuit_batch,
     run_storage_circuit,
 )
+from .service import BatchVerifier, ServiceStats
 from .sweep import (SweepResult, replicated_batches, sweep, sweep_entries,
                     sweep_resident, sweep_resident_epochs)
 from .verifier import (
@@ -29,6 +30,8 @@ from .verifier import (
 )
 
 __all__ = [
+    "BatchVerifier",
+    "ServiceStats",
     "run_merkle_circuit",
     "run_merkle_circuit_batch",
     "run_storage_circuit",

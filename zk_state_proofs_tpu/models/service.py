@@ -1,0 +1,162 @@
+"""Serving layer: a warm, bucket-pinned batch verifier.
+
+The production counterpart of the reference's one-shot prover binary
+(reference: prover/src/bin/main.rs — build input, run guest, exit): a
+long-lived verifier that pins one padding bucket (stable jit shapes →
+one compiled executable reused forever), optionally shards over a mesh,
+and accumulates serving metrics. Used for request-driven verification
+where witnesses arrive as raw (root, proof, key) entries.
+
+Why bucket pinning matters on TPU: every distinct (max_nodes, node_len,
+pool_rows, batch) shape is a separate XLA compilation — minutes through
+a remote-compile relay. A service that packs every batch into one
+pinned bucket compiles once at warmup and never again.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..ops import mpt
+from ..utils.config import BucketConfig
+from ..utils.profiling import Meter
+from ..witness.pack import PackedProofs, PackingError, pack_proofs
+from .verifier import VerifyResult
+
+
+@dataclass
+class ServiceStats:
+    """Cumulative serving counters."""
+
+    batches: int = 0
+    proofs: int = 0
+    found: int = 0
+    excluded: int = 0
+    invalid: int = 0
+    seconds: float = 0.0
+    meter: Meter = field(default_factory=Meter)
+
+    @property
+    def proofs_per_sec(self) -> float:
+        return self.proofs / max(self.seconds, 1e-9)
+
+
+class BatchVerifier:
+    """Warm batched MPT verification service with a pinned bucket.
+
+    bucket:    padding geometry every batch is packed into (request
+               batches smaller than `batch_size` are padded with empty
+               proofs, which verify INVALID and are sliced off).
+    batch_size: the pinned batch dimension (jit shape).
+    pool_rows: fixed unique-node-pool bucket for dedup hashing (0 =
+               derive from the warmup batch with 25% headroom).
+    dedup:     hash each batch's unique-node pool once (default).
+    mesh:      optional 1-D device mesh — batches are dp-sharded with
+               psum'ed stats (parallel.mesh.make_sharded_verifier).
+    """
+
+    def __init__(self, bucket: BucketConfig, batch_size: int = 4096,
+                 dedup: bool = True, pool_rows: int = 0, mesh=None):
+        self.bucket = bucket
+        self.batch_size = int(batch_size)
+        self.dedup = dedup
+        self.pool_rows = int(pool_rows)
+        self.mesh = mesh
+        self.stats = ServiceStats()
+        self._warm = False
+
+    # -- packing ---------------------------------------------------------
+    def pack(self, entries) -> PackedProofs:
+        """Pack raw (root, proof, key) entries into the pinned bucket,
+        padding the batch dimension to `batch_size`. Raises PackingError
+        if any proof exceeds the bucket."""
+        entries = list(entries)
+        if len(entries) > self.batch_size:
+            raise PackingError(
+                f"batch of {len(entries)} exceeds pinned batch_size="
+                f"{self.batch_size}")
+        n_pad = self.batch_size - len(entries)
+        if n_pad:
+            # empty proof + non-empty root rows verify INVALID (root
+            # unfindable) and are sliced off in verify()
+            entries = entries + [(b"\x00" * 31 + b"\x01", [], b"\x00")] * n_pad
+        packed = pack_proofs(
+            entries, max_nodes=self.bucket.max_nodes,
+            node_len=self.bucket.node_len,
+            key_nibbles=self.bucket.key_nibbles,
+        )
+        if self.dedup:
+            packed.pool(min_rows=self.pool_rows)
+        return packed
+
+    # -- lifecycle -------------------------------------------------------
+    def warmup(self, example_entries=None) -> float:
+        """Compile the pinned executable once (synthetic single-leaf
+        trie batch when no example is given); derives pool_rows if
+        unset. Returns the compile+first-run seconds."""
+        if example_entries is None:
+            from ..oracle import EthTrie, keccak256
+
+            t = EthTrie()
+            n = min(64, self.batch_size)
+            keys = [keccak256(b"warmup-%d" % i) for i in range(n)]
+            for i, k in enumerate(keys):
+                t.insert(k, b"\x01" + bytes([i % 251]) * 40)
+            root = t.root_hash()
+            example_entries = [(root, t.get_proof(k), k) for k in keys]
+        if self.dedup and not self.pool_rows:
+            probe = self.pack(example_entries)
+            rows = int(probe.pool()[0].shape[0])
+            self.pool_rows = -(-int(rows * 1.25) // 128) * 128
+        t0 = time.time()
+        self._verify_packed(self.pack(example_entries))
+        self._warm = True
+        return time.time() - t0
+
+    # -- serving ---------------------------------------------------------
+    def _verify_packed(self, packed: PackedProofs):
+        mvl = self.bucket.max_value_len
+        if self.mesh is not None:
+            from ..parallel.mesh import make_sharded_verifier
+
+            fn = make_sharded_verifier(self.mesh, max_value_len=mvl,
+                                       pooled=self.dedup)
+            active = np.ones(packed.batch, dtype=np.int32)
+            pool = packed.pool() if self.dedup else ()
+            out = fn(*(packed.astuple() + (active,) + pool))
+            return out[0], out[1], out[2]
+        if self.dedup:
+            return mpt.verify_proofs_pooled(
+                *packed.astuple(), *packed.pool(), max_value_len=mvl)
+        return mpt.verify_proofs(*packed.astuple(), max_value_len=mvl)
+
+    def verify(self, entries) -> VerifyResult:
+        """Pack + verify one request batch; returns per-proof results
+        (padding rows sliced off) and updates serving stats."""
+        entries = list(entries)
+        if not entries:
+            raise ValueError("empty request batch")
+        if not self._warm:
+            self.warmup()
+        t0 = time.time()
+        packed = self.pack(entries)
+        status, values, vlens = self._verify_packed(packed)
+        n = len(entries)
+        res = VerifyResult(
+            np.asarray(status)[:n], np.asarray(values)[:n],
+            np.asarray(vlens)[:n],
+        )
+        dt = time.time() - t0
+        c = res.counts()
+        s = self.stats
+        s.batches += 1
+        s.proofs += n
+        s.found += c["found"]
+        s.excluded += c["excluded"]
+        s.invalid += c["invalid"]
+        s.seconds += dt
+        s.meter.record(n, 0, 0, dt)
+        return res

@@ -202,23 +202,20 @@ def main():
     if unknown:
         print("  unrecognized primitives (counted 1/op):", unknown)
 
-    for name, rate, ops in [
-        ("keccak 1-block @ measured hashes/s", None, k1),
-        ("walk @ measured proofs/s", None, w),
-    ]:
-        pass
-    # measured rates (fill from bench stderr): utilization table
+    # measured rates (from bench stderr, r4 on v5e-1): utilization table
     measured = {
-        "keccak single-block (99.1e6 hashes/s r3)": (99.1e6, k1),
-        "keccak 4-block (32.2e6 hashes/s r3)": (32.2e6, k4),
-        "walk headline (5.08e6 proofs/s r3, depth<=7)": (5.08e6, w),
+        "keccak single-block (97e6 hashes/s r4)": (97e6, k1),
+        "keccak 4-block (32.6e6 hashes/s r4)": (32.6e6, k4),
+        "walk headline (5.10e6 proofs/s r4, depth<=7)": (5.10e6, w),
     }
+    one_op = 8 * 128 * 1.5e9
     print(f"\nv5e VPU peak assumed: {V5E_VPU_PEAK:.2e} lane-ops/s "
-          "(8x128 lanes x 4 ALUs x 1.5 GHz)")
+          "(8x128 lanes x 4 ALUs x 1.5 GHz); "
+          f"1-op/cycle issue rate: {one_op:.2e}")
     for label, (rate, ops) in measured.items():
         eff = rate * ops
         print(f"{label}: {eff:.2e} ops/s -> {100*eff/V5E_VPU_PEAK:.1f}% "
-              "of 4-ALU peak")
+              f"of 4-ALU peak, {100*eff/one_op:.0f}% of 1-op/cycle")
 
 
 if __name__ == "__main__":

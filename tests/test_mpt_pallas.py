@@ -158,6 +158,187 @@ def test_pallas_wide_bucket_reduced_tile_parity():
     assert (np.asarray(s2)[:3] == mpt.FOUND).all()
 
 
+def _rlp_head(buf, pos):
+    """Pure-python RLP item header (test oracle for item_offsets)."""
+    b0 = buf[pos] if pos < len(buf) else 0
+    if b0 < 0x80:
+        return pos, 1
+    if b0 < 0xB8:
+        return pos + 1, b0 - 0x80
+    if b0 < 0xC0:
+        lol = b0 - 0xB7
+        ln = int.from_bytes(buf[pos + 1:pos + 1 + lol].ljust(lol, b"\0"), "big")
+        return pos + 1 + lol, ln
+    if b0 < 0xF8:
+        return pos + 1, b0 - 0xC0
+    lol = b0 - 0xF7
+    ln = int.from_bytes(buf[pos + 1:pos + 1 + lol].ljust(lol, b"\0"), "big")
+    return pos + 1 + lol, ln
+
+
+def test_item_offsets_matches_serial_chain():
+    """The device hint pass (ops.rlp.item_offsets) must reproduce the
+    serial decode-chain cursors byte-for-byte for every node shape the
+    walker meets: branch, extension, leaf, and crafted lists."""
+    from zk_state_proofs_tpu.ops.rlp import item_offsets
+
+    t = EthTrie()
+    for i in range(64):
+        t.insert(keccak256(b"off-%d" % i), b"\x17" * 40)
+    nodes = [n for k in (keccak256(b"off-0"), keccak256(b"off-1"))
+             for n in t.get_proof(k)]
+    nodes += [rlp.encode([b"\x01"]), rlp.encode([]), b"\x00", b"",
+              rlp.encode([b"\x22" * 40] * 17)]
+    n_max = max(len(x) for x in nodes)
+    n_pad = -(-max(n_max, 4) // 4) * 4
+    buf = np.zeros((len(nodes), n_pad), np.uint8)
+    for i, x in enumerate(nodes):
+        buf[i, :len(x)] = np.frombuffer(x, np.uint8)
+    hints = np.asarray(item_offsets(jnp.asarray(buf)))
+    assert hints.shape == (len(nodes), 36)
+    h = (hints[:, 0::2].astype(np.int64) << 8) | hints[:, 1::2]
+    for r, node in enumerate(nodes):
+        padded = bytes(buf[r])
+        ps, plen = _rlp_head(padded, 0)
+        end = ps + plen
+        cursor = ps
+        expect = [cursor]
+        for _ in range(17):
+            if cursor < end:
+                ip, il = _rlp_head(padded, min(cursor, n_pad - 1))
+                cursor = cursor + (ip - min(cursor, n_pad - 1)) + il
+            expect.append(min(cursor, 0xFFFF))
+        np.testing.assert_array_equal(h[r], expect, err_msg=f"row {r}")
+
+
+def _hints_for(packed):
+    """Per-(proof, slot) hints straight from the node table (the pooled
+    path scatters the same rows; tests build them directly)."""
+    from zk_state_proofs_tpu.ops.rlp import item_offsets
+
+    b, d, n = packed.nodes.shape
+    flat = jnp.asarray(packed.nodes.reshape(b * d, n))
+    return item_offsets(flat).reshape(b, d, 36)
+
+
+def test_pallas_hinted_parity_and_fast_path():
+    """Hinted mode must match the XLA walker bit-exactly on honest AND
+    adversarial inputs; on an inline-free trie the fast path must serve
+    every proof itself (no exact-kernel fallback)."""
+    t = EthTrie()
+    keys = []
+    for i in range(64):
+        k = keccak256(b"hint-%d" % i)
+        t.insert(k, b"\x09" + bytes([i]) * 40)  # >=32B values: no inlines
+        keys.append(k)
+    root = t.root_hash()
+    entries = [(root, t.get_proof(k), k) for k in keys[:12]]
+    absent = keccak256(b"hint-absent")
+    entries.append((root, t.get_proof(absent), absent))          # EXCLUDED
+    entries.append((b"\x31" * 32, t.get_proof(keys[1]), keys[1]))  # root miss
+    entries.append((root, t.get_proof(keys[2])[:1], keys[2]))    # hash miss
+    crafted = rlp.encode([b"\x01"])
+    entries.append((keccak256(crafted), [crafted], keys[3]))     # malformed
+    bad = [bytearray(x) for x in t.get_proof(keys[4])]
+    bad[-1][5] ^= 1
+    entries.append((root, [bytes(x) for x in bad], keys[4]))     # corrupt
+
+    packed = pack_proofs(entries)
+    args = [jnp.asarray(a) for a in packed.astuple()]
+    dig = mpt.hash_nodes(args[0], args[1])
+    hints = _hints_for(packed)
+    s1, v1, l1, r1 = mpt.walk_batch(*args[:3], dig, *args[3:], 128)
+    s2, v2, l2, r2, ovf = walk_batch_pallas(
+        *args[:3], dig, *args[3:], 128, hints=hints, with_reasons=True,
+        with_overflow=True)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+    # account-style trie, honest hints: nothing defers to the exact kernel
+    assert (np.asarray(ovf)[:len(entries)] == 0).all()
+    assert (np.asarray(s2)[:12] == mpt.FOUND).all()
+
+
+def test_pallas_hinted_inline_falls_back():
+    """Inline (<32 B) children cannot be described by node-level hints:
+    those steps latch the overflow flag and the exact kernel re-run keeps
+    results bit-identical to the XLA walker."""
+    t = EthTrie()
+    keys = []
+    for i in range(48):
+        k = keccak256(b"inl-%d" % i)[:6]
+        t.insert(k, rlp.int_to_min_bytes(i + 1))  # tiny values -> inline
+        keys.append(k)
+    root = t.root_hash()
+    entries = [(root, t.get_proof(k), k) for k in keys[:8]]
+    packed = pack_proofs(entries)
+    args = [jnp.asarray(a) for a in packed.astuple()]
+    dig = mpt.hash_nodes(args[0], args[1])
+    hints = _hints_for(packed)
+    s1, v1, l1, _ = mpt.walk_batch(*args[:3], dig, *args[3:], 128)
+    s2, v2, l2, ovf = walk_batch_pallas(*args[:3], dig, *args[3:], 128,
+                                        hints=hints, with_overflow=True)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    assert (np.asarray(ovf) > 0).any()  # inline steps deferred
+
+
+def test_pallas_hinted_corrupt_hints_fall_back():
+    """Wrong hints (stale cache / hostile packer) must cost performance
+    only: the chain check latches and the exact re-run restores correct
+    classification for every proof."""
+    t = EthTrie()
+    keys = []
+    for i in range(32):
+        k = keccak256(b"cor-%d" % i)
+        t.insert(k, b"\x0a" * 48)
+        keys.append(k)
+    root = t.root_hash()
+    entries = [(root, t.get_proof(k), k) for k in keys[:8]]
+    packed = pack_proofs(entries)
+    args = [jnp.asarray(a) for a in packed.astuple()]
+    dig = mpt.hash_nodes(args[0], args[1])
+    good = np.asarray(_hints_for(packed))
+    s1, v1, l1, _ = mpt.walk_batch(*args[:3], dig, *args[3:], 128)
+    for corrupt in (np.zeros_like(good),
+                    (good + 7) % 255,
+                    np.roll(good, 2, axis=-1)):
+        s2, v2, l2, ovf = walk_batch_pallas(
+            *args[:3], dig, *args[3:], 128,
+            hints=jnp.asarray(corrupt), with_overflow=True)
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+        assert (np.asarray(ovf) > 0).any()
+
+
+def test_hash_nodes_pooled_with_hints_scatter():
+    """The pooled scatter must deliver each slot's hint row bit-exactly
+    (bf16 one-hot contraction is exact on bytes), matching item_offsets
+    computed directly on the per-proof node table."""
+    t = EthTrie()
+    keys = []
+    for i in range(32):
+        k = keccak256(b"sc-%d" % i)
+        t.insert(k, b"\x0b" * 40)
+        keys.append(k)
+    root = t.root_hash()
+    packed = pack_proofs([(root, t.get_proof(k), k) for k in keys[:16]])
+    pool = packed.pool()
+    dig1 = mpt.hash_nodes(jnp.asarray(packed.nodes),
+                          jnp.asarray(packed.node_lens))
+    dig2, hints = mpt.hash_nodes_pooled(*(jnp.asarray(a) for a in pool),
+                                        with_hints=True)
+    direct = np.asarray(_hints_for(packed))
+    b, d = packed.node_lens.shape
+    real = np.arange(d)[None, :] < packed.num_nodes[:, None]
+    np.testing.assert_array_equal(
+        np.asarray(dig1)[real], np.asarray(dig2)[real])
+    np.testing.assert_array_equal(np.asarray(hints)[real], direct[real])
+
+
 def test_pallas_bounded_decode_overflow_fallback():
     """Crafted well-formed-RLP nodes whose items exceed the branch/pair
     size bounds (e.g. a 2-item list with a 100-byte first item) trip the

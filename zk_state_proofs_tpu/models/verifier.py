@@ -202,9 +202,12 @@ def _storage_core_grouped(a_nodes, a_lens, a_num, a_roots, a_knib, a_klen,
     acct = decode_account(a_values, a_vlens)
     s_knib, s_klen = _slot_key_nibbles(slots)
     s_roots = jnp.take(acct["storage_root"], slot_accounts, axis=0)
+    # hinted=False: storage tries routinely hold inline (<32 B) leaves,
+    # which would defer the hinted fast path to the exact re-run every
+    # batch — the serial bounded kernel is the right tool at this level
     s_status, s_values, s_vlens = mpt.verify_proofs_pooled(
         s_nodes, s_lens, s_num, s_roots, s_knib, s_klen, s_pn, s_pl, s_pi,
-        max_value_len=64,
+        max_value_len=64, hinted=False,
     )
     # an invalid/absent account or undecodable leaf invalidates its slots
     account_ok = (a_status == mpt.FOUND) & acct["ok"]

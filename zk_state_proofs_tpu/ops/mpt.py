@@ -334,7 +334,7 @@ def hash_nodes(nodes, node_lens):
     return digests.reshape(d, b, 32).transpose(1, 0, 2)
 
 
-def hash_nodes_pooled(pool_nodes, pool_lens, pool_idx):
+def hash_nodes_pooled(pool_nodes, pool_lens, pool_idx, with_hints=False):
     """Phase 1 with deduplicated hashing: digest the unique-node pool once
     and scatter to the per-proof table. pool_nodes u8 [U, N], pool_lens i32
     [U], pool_idx i32 [B, D] -> digests u8 [B, D, 32].
@@ -345,6 +345,11 @@ def hash_nodes_pooled(pool_nodes, pool_lens, pool_idx):
     still checks the keccak link of every step of every proof — equal
     per-proof bytes simply share one permutation, where the reference
     re-hashes per proof (crypto-ops/src/lib.rs:10-13).
+
+    with_hints=True additionally runs the serial RLP offset pass once per
+    pool row (ops.rlp.item_offsets) and rides the 36 hint bytes on the
+    SAME one-hot scatter, returning (digests, hints u8 [B, D, 36]) for the
+    fused walk kernel's hinted (parallel-decode) mode.
     """
     b, d = pool_idx.shape
     u = pool_nodes.shape[0]
@@ -356,32 +361,54 @@ def hash_nodes_pooled(pool_nodes, pool_lens, pool_idx):
         from .keccak import keccak256
 
         pool_dig = keccak256(pool_nodes, pool_lens)
+    payload = pool_dig
+    if with_hints:
+        from .rlp import item_offsets
+
+        payload = jnp.concatenate(
+            [pool_dig, item_offsets(pool_nodes)], axis=1)  # u8 [U, 68]
     onehot = (
         jnp.arange(u, dtype=jnp.int32)[None, :] == pool_idx.reshape(b * d)[:, None]
     ).astype(jnp.bfloat16)
-    dig = jax.lax.dot_general(
-        onehot, pool_dig.astype(jnp.bfloat16),
+    out = jax.lax.dot_general(
+        onehot, payload.astype(jnp.bfloat16),
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
-    return dig.astype(jnp.uint8).reshape(b, d, 32)
+    ).astype(jnp.uint8).reshape(b, d, -1)
+    if with_hints:
+        return out[..., :32], out[..., 32:]
+    return out
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("max_value_len", "max_steps", "conditional"))
+                   static_argnames=("max_value_len", "max_steps",
+                                    "conditional", "hinted"))
 def verify_proofs_pooled(nodes, node_lens, num_nodes, roots, key_nibbles,
                          key_lens, pool_nodes, pool_lens, pool_idx,
                          max_value_len: int = 128, max_steps: int | None = None,
-                         conditional: bool = True):
+                         conditional: bool = True, hinted: bool = True):
     """`verify_proofs` with deduplicated hashing (see hash_nodes_pooled).
-    The pool is produced by witness packing (PackedProofs.pool())."""
-    digests = hash_nodes_pooled(pool_nodes, pool_lens, pool_idx)
+    The pool is produced by witness packing (PackedProofs.pool()).
+
+    hinted=True (TPU): the pool scatter also carries per-node RLP offset
+    hints so the fused kernel decodes without its serial header chain
+    (results bit-identical; see walk_batch_pallas). Pass hinted=False for
+    workloads dominated by inline-child steps (storage tries with short
+    values), where the hinted fast path would always defer to the exact
+    re-run and cost an extra kernel."""
     if jax.default_backend() == "tpu":
         from .mpt_pallas import walk_batch_pallas
 
+        if hinted:
+            digests, hints = hash_nodes_pooled(pool_nodes, pool_lens,
+                                               pool_idx, with_hints=True)
+        else:
+            digests = hash_nodes_pooled(pool_nodes, pool_lens, pool_idx)
+            hints = None
         return walk_batch_pallas(nodes, node_lens, num_nodes, digests, roots,
                                  key_nibbles, key_lens, max_value_len,
-                                 max_steps)
+                                 max_steps, hints=hints)
+    digests = hash_nodes_pooled(pool_nodes, pool_lens, pool_idx)
     return walk_batch(nodes, node_lens, num_nodes, digests, roots,
                       key_nibbles, key_lens, max_value_len, max_steps,
                       conditional)[:3]

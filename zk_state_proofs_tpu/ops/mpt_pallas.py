@@ -153,9 +153,28 @@ def _dyn_window(arr, start_row, out_rows: int):
     return cur[:out_rows]
 
 
-def _walk_kernel(d: int, nw: int, kn: int, max_steps: int, bounded: bool,
+def _walk_kernel(d: int, nw: int, kn: int, max_steps: int, mode: str,
                  words_ref, nlen_ref, nnum_ref, dig_ref, root_ref, knib_ref,
-                 klen_ref, out_ref, cur_ref, curs_ref=None):
+                 klen_ref, *refs):
+    """mode selects the decode strategy (identical classification on every
+    input — 'hinted'/'bounded' latch an overflow flag on anything they
+    cannot prove and the caller re-runs the 'exact' kernel):
+      'hinted'  — parallel item-header fetch at packer/device-provided
+                  offset hints (ops.rlp.item_offsets), chain-verified in
+                  parallel; no serial dependency, off==0 statically.
+      'bounded' — serial 17-item chain with window-bounded fetches.
+      'exact'   — serial chain with full-width fetches (the fallback).
+    """
+    if mode == "hinted":
+        hints_ref, out_ref, cur_ref = refs
+        curs_ref = None
+    elif mode == "bounded":
+        (out_ref, cur_ref), curs_ref, hints_ref = refs, None, None
+    else:
+        out_ref, cur_ref, curs_ref = refs
+        hints_ref = None
+    bounded = mode == "bounded"
+    hinted = mode == "hinted"
     RUNNING, FOUND = mpt_ref.RUNNING, mpt_ref.FOUND
     EXCLUDED, INVALID = mpt_ref.EXCLUDED, mpt_ref.INVALID
     maxnib = kn
@@ -213,7 +232,7 @@ def _walk_kernel(d: int, nw: int, kn: int, max_steps: int, bounded: bool,
         for dd in range(1, d):
             blen = jnp.where(is_dd[dd - 1], nlen_ref[0, dd], blen)
         cur = cur_ref[:]
-        if not bounded:
+        if mode == "exact":
             # the 1-row-shifted copy only feeds _fetch4 (full-width decode);
             # the bounded path derives its shifted window from `sh` instead,
             # so skipping these nw scratch stores saves ~nw*4 KB of VMEM
@@ -230,8 +249,102 @@ def _walk_kernel(d: int, nw: int, kn: int, max_steps: int, bounded: bool,
         knibs = knib_ref[0]
         c_nib = jnp.sum(jnp.where(kiota == key_pos[None], knibs, 0), axis=0)
 
+        live0 = status == RUNNING
+        zero_row = jnp.zeros((1,) + tile, jnp.int32)
+
         # ---- RLP decode chain: node header + up to 17 items ----
-        if bounded:
+        if hinted:
+            # Offset hints break the serial dependency: the packer/device
+            # hint pass (ops.rlp.item_offsets) ran the serial chain once
+            # per unique node; here every item header is fetched at its
+            # hinted position INDEPENDENTLY and the chain law
+            #   h[i+1] == h[i] + head_len_i + payload_len_i   (present)
+            #   h[i+1] == h[i]                                (absent)
+            # is verified in parallel. Any violation — wrong hints, or an
+            # inline-child step (off != 0, whose decode a node-level hint
+            # cannot describe) — latches ovf and walk_batch_pallas re-runs
+            # the exact serial kernel, so classification stays
+            # bit-identical to ops/mpt.walk_batch on every input.
+            ovf = ovf | _i32(live0 & (off != 0))
+            # per-node hint words, selected like blen (9 x u16-pair words)
+            hwords = []
+            for w in range(9):
+                x = hints_ref[0, 0, w]
+                for dd in range(1, d):
+                    x = jnp.where(is_dd[dd - 1], hints_ref[0, dd, w], x)
+                hwords.append(x)
+            h = []
+            for i in range(18):
+                w = hwords[i // 2]
+                h.append((w >> 16) & 0xFFFF if i % 2 == 0 else w & 0xFFFF)
+
+            # node header: off == 0 on the fast path, so it is bytes 0..3
+            # of word row 0 — a STATIC fetch (lanes with off != 0 are
+            # already latched; their decode is discarded by the re-run)
+            hb = list(_bytes_of_word(cur[0]))
+            po, plen, is_list, head_ok = _head_fields(hb)
+            ps = po
+            end = ps + plen
+
+            curs1 = jnp.concatenate([cur[1:], zero_row], axis=0)
+
+            def fetch_hint(pos, hi_rows: int):
+                pc = jnp.clip(pos, 0, nw * 4 - 1)
+                wp = pc >> 2
+                r = pc & 3
+                hi = min(nw, hi_rows)
+                iota = jax.lax.broadcasted_iota(jnp.int32, (hi,) + tile, 0)
+                m = iota == wp[None]
+                w1 = jnp.sum(jnp.where(m, cur[:hi], 0), axis=0)
+                w2 = jnp.sum(jnp.where(m, curs1[:hi], 0), axis=0)
+                b8 = list(_bytes_of_word(w1)) + list(_bytes_of_word(w2))
+                return _align4(r, b8)
+
+            sel = {
+                "i0_pay": zero, "i0_len": zero, "i0_list": zero,
+                "i1_start": zero, "i1_pay": zero, "i1_len": zero,
+                "i1_list": zero, "i16_pay": zero, "i16_len": zero,
+                "c_start": zero, "c_pay": zero, "c_len": zero,
+                "c_list": zero,
+            }
+            count = zero
+            all_ok = jnp.ones(tile, jnp.bool_)
+            chain_ok = h[0] == ps
+            for i in range(17):
+                hi_i = h[i]
+                present = hi_i < end
+                # same live-window bound as the bounded kernel: item i of a
+                # well-formed branch/pair starts within 10 + 35*i bytes
+                ovf = ovf | _i32(present & live0 & (hi_i > 10 + 35 * i))
+                ib = fetch_hint(hi_i, (10 + 35 * i + 8) // 4 + 2)
+                ipo, ipl, ilist, ok = _head_fields(ib)
+                ilist = _i32(ilist)
+                ips = hi_i + ipo
+                # boolean algebra, not where(): Mosaic can't select on i1
+                chain_ok = chain_ok & (
+                    (present & (h[i + 1] == ips + ipl))
+                    | (~present & (h[i + 1] == hi_i)))
+                if i == 0:
+                    sel["i0_pay"], sel["i0_len"], sel["i0_list"] = (
+                        ips, ipl, ilist)
+                if i == 1:
+                    sel["i1_start"], sel["i1_pay"] = hi_i, ips
+                    sel["i1_len"], sel["i1_list"] = ipl, ilist
+                if i == 16:
+                    sel["i16_pay"], sel["i16_len"] = ips, ipl
+                if i < 16:
+                    hit = present & (c_nib == i)
+                    sel["c_start"] = jnp.where(hit, hi_i, sel["c_start"])
+                    sel["c_pay"] = jnp.where(hit, ips, sel["c_pay"])
+                    sel["c_len"] = jnp.where(hit, ipl, sel["c_len"])
+                    sel["c_list"] = jnp.where(hit, ilist, sel["c_list"])
+                count = count + _i32(present)
+                all_ok = all_ok & (~present | ok)
+            ovf = ovf | _i32(live0 & ~chain_ok)
+            cursor = h[17]
+            well_formed = (is_list & head_ok & (cursor == end)
+                           & (end <= blen) & all_ok)
+        elif bounded:
             # Header-aligned shifted copy (binary cascade):
             # sh[j] = cur[off//4 + j]. Item i of any branch/pair node starts
             # within 10 + 35*i bytes of `off` (node header <= 4 B, branch
@@ -285,46 +398,49 @@ def _walk_kernel(d: int, nw: int, kn: int, max_steps: int, bounded: bool,
             base = zero
             fetch_item = lambda c, i: _fetch4(cur, curs, c)
 
-        po, plen, is_list, head_ok = _head_fields(hb)
-        ps = off + po
-        end = ps + plen
-        # list-flags carried as i32 0/1: Mosaic rejects where() on i1
-        sel = {
-            "i0_pay": zero, "i0_len": zero, "i0_list": zero,
-            "i1_start": zero, "i1_pay": zero, "i1_len": zero, "i1_list": zero,
-            "i16_pay": zero, "i16_len": zero,
-            "c_start": zero, "c_pay": zero, "c_len": zero, "c_list": zero,
-        }
-        cursor = ps
-        count = zero
-        all_ok = jnp.ones(tile, jnp.bool_)
-        live0 = status == RUNNING
-        for i in range(17):
-            present = cursor < end
-            if bounded:
-                ovf = ovf | _i32(present & live0
-                                 & (cursor - base > 10 + 35 * i))
-            ib = fetch_item(cursor, i)
-            ipo, ipl, ilist, ok = _head_fields(ib)
-            ilist = _i32(ilist)
-            ips = cursor + ipo
-            if i == 0:
-                sel["i0_pay"], sel["i0_len"], sel["i0_list"] = ips, ipl, ilist
-            if i == 1:
-                sel["i1_start"], sel["i1_pay"] = cursor, ips
-                sel["i1_len"], sel["i1_list"] = ipl, ilist
-            if i == 16:
-                sel["i16_pay"], sel["i16_len"] = ips, ipl
-            if i < 16:
-                hit = present & (c_nib == i)
-                sel["c_start"] = jnp.where(hit, cursor, sel["c_start"])
-                sel["c_pay"] = jnp.where(hit, ips, sel["c_pay"])
-                sel["c_len"] = jnp.where(hit, ipl, sel["c_len"])
-                sel["c_list"] = jnp.where(hit, ilist, sel["c_list"])
-            count = count + _i32(present)
-            all_ok = all_ok & (~present | ok)
-            cursor = jnp.where(present, ips + ipl, cursor)
-        well_formed = is_list & head_ok & (cursor == end) & (end <= blen) & all_ok
+        if not hinted:
+            po, plen, is_list, head_ok = _head_fields(hb)
+            ps = off + po
+            end = ps + plen
+            # list-flags carried as i32 0/1: Mosaic rejects where() on i1
+            sel = {
+                "i0_pay": zero, "i0_len": zero, "i0_list": zero,
+                "i1_start": zero, "i1_pay": zero, "i1_len": zero,
+                "i1_list": zero, "i16_pay": zero, "i16_len": zero,
+                "c_start": zero, "c_pay": zero, "c_len": zero,
+                "c_list": zero,
+            }
+            cursor = ps
+            count = zero
+            all_ok = jnp.ones(tile, jnp.bool_)
+            for i in range(17):
+                present = cursor < end
+                if bounded:
+                    ovf = ovf | _i32(present & live0
+                                     & (cursor - base > 10 + 35 * i))
+                ib = fetch_item(cursor, i)
+                ipo, ipl, ilist, ok = _head_fields(ib)
+                ilist = _i32(ilist)
+                ips = cursor + ipo
+                if i == 0:
+                    sel["i0_pay"], sel["i0_len"], sel["i0_list"] = (
+                        ips, ipl, ilist)
+                if i == 1:
+                    sel["i1_start"], sel["i1_pay"] = cursor, ips
+                    sel["i1_len"], sel["i1_list"] = ipl, ilist
+                if i == 16:
+                    sel["i16_pay"], sel["i16_len"] = ips, ipl
+                if i < 16:
+                    hit = present & (c_nib == i)
+                    sel["c_start"] = jnp.where(hit, cursor, sel["c_start"])
+                    sel["c_pay"] = jnp.where(hit, ips, sel["c_pay"])
+                    sel["c_len"] = jnp.where(hit, ipl, sel["c_len"])
+                    sel["c_list"] = jnp.where(hit, ilist, sel["c_list"])
+                count = count + _i32(present)
+                all_ok = all_ok & (~present | ok)
+                cursor = jnp.where(present, ips + ipl, cursor)
+            well_formed = (is_list & head_ok & (cursor == end)
+                           & (end <= blen) & all_ok)
 
         # ---- extension/leaf: hex-prefix decode + nibble compare ----
         p0s, p0l = sel["i0_pay"], sel["i0_len"]
@@ -332,7 +448,12 @@ def _walk_kernel(d: int, nw: int, kn: int, max_steps: int, bounded: bool,
         wp0 = jnp.clip(p0s, 0, nw * 4 - 1) >> 2
         r0 = jnp.clip(p0s, 0, nw * 4 - 1) & 3
         n_path_words = maxnib // 8 + 2  # 34-byte window = 9 words + align
-        pwords = _dyn_window(cur, wp0, n_path_words + 1)
+        # hinted mode: unlatched lanes have p0s = h[0] + head <= 14 (the
+        # i=0 window bound), so the hex-prefix window cascade only needs a
+        # small static prefix of cur (latched lanes may read garbage — the
+        # exact re-run replaces them)
+        pw_src = cur[:min(nw, n_path_words + 6)] if hinted else cur
+        pwords = _dyn_window(pw_src, wp0, n_path_words + 1)
         pbytes_raw = []
         for p in range(n_path_words + 1):
             pbytes_raw.extend(_bytes_of_word(pwords[p]))
@@ -387,9 +508,13 @@ def _walk_kernel(d: int, nw: int, kn: int, max_steps: int, bounded: bool,
         child_inline = has_child & (clist == 1)
         child_bad = has_child & (clist == 0) & (cplen != 32)
 
-        # expected child hash: 32 bytes at cpay -> 8 big-endian words
+        # expected child hash: 32 bytes at cpay -> 8 big-endian words.
+        # hinted mode: unlatched child payloads start <= 10 + 35*15 + 4
+        # bytes in (the i<16 window bound), so the cascade source truncates
+        # to a static prefix — a large cut at tx/receipt geometry (nw~520)
         cp = jnp.clip(cpay, 0, nw * 4 - 1)
-        ewords = _dyn_window(cur, cp >> 2, 10)
+        ew_src = cur[:min(nw, 152)] if hinted else cur
+        ewords = _dyn_window(ew_src, cp >> 2, 10)
         ebytes_raw = []
         for p in range(10):
             ebytes_raw.extend(_bytes_of_word(ewords[p]))
@@ -457,23 +582,27 @@ def _walk_kernel(d: int, nw: int, kn: int, max_steps: int, bounded: bool,
     out_ref[0, 5] = reasons   # first-failure-class code (mpt.REASON_NAMES)
 
 
-@functools.partial(jax.jit, static_argnames=("max_steps", "bounded"))
-def _walk_lanes(words, nlens, nnum, dig, root, knib, klen, *, max_steps: int,
-                bounded: bool = True):
+@functools.partial(jax.jit, static_argnames=("max_steps", "mode"))
+def _walk_lanes(words, nlens, nnum, dig, root, knib, klen, hints=None, *,
+                max_steps: int, mode: str = "bounded"):
     """words i32 [Bt, D, NW, S, 128]; nlens [Bt, D, S, 128];
     nnum/klen [Bt, S, 128]; dig [Bt, D, 8, S, 128]; root [Bt, 8, S, 128];
-    knib [Bt, KN, S, 128]. S is the sublane tile depth (8 by default;
-    reduced for wide buckets — see _pick_tile_sub). Returns i32
-    [Bt, 6, S, 128] (status, vnode, vstart, vlen, bounded-decode overflow
-    flag, INVALID reason code)."""
+    knib [Bt, KN, S, 128]; hints [Bt, D, 9, S, 128] (mode='hinted' only).
+    S is the sublane tile depth (8 by default; reduced for wide buckets —
+    see _pick_tile_sub). Returns i32 [Bt, 6, S, 128] (status, vnode,
+    vstart, vlen, fast-path overflow flag, INVALID reason code)."""
     bt, d, nw = words.shape[0], words.shape[1], words.shape[2]
     kn = knib.shape[1]
     sub = words.shape[3]
-    kernel = functools.partial(_walk_kernel, d, nw, kn, max_steps, bounded)
+    kernel = functools.partial(_walk_kernel, d, nw, kn, max_steps, mode)
     tile = (sub, TILE_LANE)
     spec = lambda *lead: pl.BlockSpec(
         (1,) + lead + tile, lambda i: (i,) + (0,) * (len(lead) + 2),
         memory_space=pltpu.VMEM)
+    hinted = mode == "hinted"
+    args = (words, nlens, nnum, dig, root, knib, klen)
+    if hinted:
+        args = args + (hints,)
     return pl.pallas_call(
         kernel,
         grid=(bt,),
@@ -485,16 +614,16 @@ def _walk_lanes(words, nlens, nnum, dig, root, knib, klen, *, max_steps: int,
             spec(8),       # root
             spec(kn),      # knib
             spec(),        # klen
-        ],
+        ] + ([spec(d, 9)] if hinted else []),
         out_specs=spec(6),
         out_shape=jax.ShapeDtypeStruct((bt, 6) + tile, jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((nw,) + tile, jnp.int32),  # cur
-        ] + ([] if bounded else [
+        ] + ([] if mode != "exact" else [
             pltpu.VMEM((nw,) + tile, jnp.int32),  # curs
         ]),
         interpret=jax.default_backend() != "tpu",
-    )(words, nlens, nnum, dig, root, knib, klen)
+    )(*args)
 
 
 def _to_words(bytes_arr):
@@ -513,7 +642,7 @@ def _lanes(a, bt, sub=TILE_SUB):
     return a.transpose(order)
 
 
-def _pick_tile_sub(d: int, nw: int, kn: int) -> int:
+def _pick_tile_sub(d: int, nw: int, kn: int, hinted: bool = False) -> int:
     """Largest sublane depth whose kernel instance fits Mosaic's 16 MB
     scoped-VMEM budget. The dominant allocations scale with the tile-row
     count: double-buffered word inputs (2*d*nw), the cur scratch (nw),
@@ -524,6 +653,10 @@ def _pick_tile_sub(d: int, nw: int, kn: int) -> int:
     tx/receipt geometry (~2 KB nodes) runs at sub=4, trading per-instance
     width for twice the grid steps."""
     rows = 2 * d * nw + nw + 2 * min(nw, 147) + 2 * (8 * d + kn)
+    if hinted:
+        rows += 2 * d * 9  # double-buffered hint words (the sh/shs term
+        #                    above covers the hinted temps: curs1 + the
+        #                    truncated pw/ew cascade sources)
     sub = TILE_SUB
     while sub > 1 and rows * sub > 3600 * 8:
         sub //= 2
@@ -533,19 +666,28 @@ def _pick_tile_sub(d: int, nw: int, kn: int) -> int:
 def walk_batch_pallas(nodes, node_lens, num_nodes, digests, roots,
                       key_nibbles, key_lens, max_value_len: int,
                       max_steps: int | None = None,
-                      with_reasons: bool = False):
+                      with_reasons: bool = False, hints=None,
+                      with_overflow: bool = False):
     """Drop-in for mpt.walk_batch on TPU. Returns (status, values,
     value_lens); with_reasons=True appends the per-proof INVALID reason
     channel (mpt.REASON_NAMES) — carried through the kernel's 6th output
     word, so TPU-batch triage is one run, not a fall-back to the XLA
-    walker."""
+    walker.
+
+    hints: optional u8 [B, D, 36] per-(proof, slot) RLP item-offset hints
+    (ops.rlp.item_offsets rows, scattered like digests). When given, the
+    kernel runs in 'hinted' mode — parallel header fetches with a parallel
+    chain check instead of the serial 17-item decode chain; wrong/stale
+    hints or inline-child steps latch the overflow flag and the exact
+    serial kernel re-runs, so results are bit-identical to walk_batch on
+    EVERY input (hints buy speed, never change classification)."""
     b, d, n = nodes.shape
     if n % 4:
         nodes = jnp.pad(nodes, ((0, 0), (0, 0), (0, 4 - n % 4)))
     kn = key_nibbles.shape[1]
     if max_steps is None:
         max_steps = d + 6
-    sub = _pick_tile_sub(d, nodes.shape[2] // 4, kn)
+    sub = _pick_tile_sub(d, nodes.shape[2] // 4, kn, hinted=hints is not None)
     tile = sub * TILE_LANE
     bp = -(-b // tile) * tile
     if bp != b:
@@ -557,6 +699,8 @@ def walk_batch_pallas(nodes, node_lens, num_nodes, digests, roots,
         roots = jnp.pad(roots, pad + ((0, 0),))
         key_nibbles = jnp.pad(key_nibbles, pad + ((0, 0),))
         key_lens = jnp.pad(key_lens, pad)
+        if hints is not None:
+            hints = jnp.pad(hints, pad + ((0, 0), (0, 0)))
     bt = bp // tile
     lanes_in = (
         _lanes(_to_words(nodes), bt, sub),
@@ -567,15 +711,20 @@ def walk_batch_pallas(nodes, node_lens, num_nodes, digests, roots,
         _lanes(key_nibbles.astype(jnp.int32), bt, sub),
         _lanes(key_lens.astype(jnp.int32), bt, sub),
     )
-    fast = _walk_lanes(*lanes_in, max_steps=max_steps, bounded=True)
-    # Bounded-decode overflow (only reachable via crafted nodes whose
-    # well-formed RLP items exceed the branch/pair size bounds): re-run the
-    # batch through the exact full-width kernel. XLA-level cond — honest
-    # witnesses never execute the slow branch.
+    if hints is not None:
+        fast = _walk_lanes(*lanes_in, _lanes(_to_words(hints), bt, sub),
+                           max_steps=max_steps, mode="hinted")
+    else:
+        fast = _walk_lanes(*lanes_in, max_steps=max_steps, mode="bounded")
+    # Fast-path overflow (bounded mode: crafted nodes whose well-formed
+    # RLP items exceed the branch/pair size bounds; hinted mode: also
+    # hint-chain mismatches and inline-child steps): re-run the batch
+    # through the exact full-width kernel. XLA-level cond — honest
+    # witnesses on inline-free tries never execute the slow branch.
     any_ovf = jnp.any(fast[:, 4] > 0)
     out = jax.lax.cond(
         any_ovf,
-        lambda: _walk_lanes(*lanes_in, max_steps=max_steps, bounded=False),
+        lambda: _walk_lanes(*lanes_in, max_steps=max_steps, mode="exact"),
         lambda: fast,
     )  # [Bt, 6, 8, 128]
     out = out.transpose(0, 2, 3, 1).reshape(bp, 6)[:b]
@@ -584,5 +733,11 @@ def walk_batch_pallas(nodes, node_lens, num_nodes, digests, roots,
              vnode, vstart, vlen, jnp.zeros_like(status))
     result = mpt_ref._extract_value(nodes[:b, :, :n], carry, max_value_len)
     if with_reasons:
-        return result + (out[:, 5],)
+        result = result + (out[:, 5],)
+    if with_overflow:
+        # per-proof FAST-path overflow latch (pre-fallback): nonzero rows
+        # deferred to the exact kernel — a serving/bench diagnostic for
+        # how often the hinted/bounded fast path actually served
+        fast_ovf = fast.transpose(0, 2, 3, 1).reshape(bp, 6)[:b, 4]
+        result = result + (fast_ovf,)
     return result

@@ -211,6 +211,35 @@ def test_item_offsets_matches_serial_chain():
         np.testing.assert_array_equal(h[r], expect, err_msg=f"row {r}")
 
 
+def test_host_item_offsets_matches_device(monkeypatch):
+    """The pack-time host hint scan (native C++ and the numpy fallback)
+    must agree byte-for-byte with the device pass — disagreement would
+    silently demote every batch to the exact-fallback kernel."""
+    from zk_state_proofs_tpu import native
+    from zk_state_proofs_tpu.ops.rlp import item_offsets
+    from zk_state_proofs_tpu.witness.pack import host_item_offsets
+
+    t = EthTrie()
+    for i in range(64):
+        t.insert(keccak256(b"hio-%d" % i), b"\x2a" * 44)
+    nodes = [n for k in (keccak256(b"hio-0"), keccak256(b"hio-3"))
+             for n in t.get_proof(k)]
+    nodes += [rlp.encode([b"\x01"]), rlp.encode([]), b"\x00", b"",
+              rlp.encode([b"\x22" * 40] * 17),
+              rlp.encode([b"\x33" * 200, b"\x44"]),
+              bytes([0xF9, 0x01, 0x00]) + b"\x55" * 64]  # long-list header
+    n_pad = -(-max(len(x) for x in nodes) // 4) * 4
+    buf = np.zeros((len(nodes), n_pad), np.uint8)
+    for i, x in enumerate(nodes):
+        buf[i, :len(x)] = np.frombuffer(x, np.uint8)
+    device = np.asarray(item_offsets(jnp.asarray(buf)))
+    if native.available():
+        native_out = native.item_offsets_native(buf)
+        np.testing.assert_array_equal(native_out, device)
+    monkeypatch.setattr(native, "item_offsets_native", lambda rows: None)
+    np.testing.assert_array_equal(host_item_offsets(buf), device)
+
+
 def _hints_for(packed):
     """Per-(proof, slot) hints straight from the node table (the pooled
     path scatters the same rows; tests build them directly)."""

@@ -117,16 +117,22 @@ def _counts_of(status):
 def _expand_tables(pool, plens, dig, idx, *, a, dd, n_len):
     """Materialize global per-proof tables from the unique-node pool
     (one-time; the digests scattered here come from hashing the exact
-    same pool rows the node bytes are gathered from).
+    same pool rows the node bytes are gathered from). The per-node RLP
+    offset hints (ops.rlp.item_offsets — the fused kernel's parallel-
+    decode mode) are computed once per pool row here and ride the same
+    row gather, concatenated with the digests.
 
-    Tables stay 2-D ([A, D*N] / [A, D*32]): a [A, D, N] layout pads the
+    Tables stay 2-D ([A, D*N] / [A, D*68]): a [A, D, N] layout pads the
     trailing (D, N) dims to (8, 128) tiles (1.8x HBM at D=10 — OOM at the
     1M-proof scale), and one ~5.6 KB row per proof is also the
     fastest gather shape (~0.12 us/row regardless of row size)."""
+    from ..ops.rlp import item_offsets
+
     flat = idx.reshape(-1)
+    payload = jnp.concatenate([dig, item_offsets(pool)], axis=1)  # [U, 68]
     return (jnp.take(pool, flat, axis=0).reshape(a, dd * n_len),
             jnp.take(plens, flat).reshape(a, dd),
-            jnp.take(dig, flat, axis=0).reshape(a, dd * 32))
+            jnp.take(payload, flat, axis=0).reshape(a, dd * 68))
 
 
 def _verify_sel(sel, resident, max_value_len, max_steps, materialized):
@@ -134,14 +140,16 @@ def _verify_sel(sel, resident, max_value_len, max_steps, materialized):
         nodes2, lens, digs2, num, roots, knib, klen = resident
         b = sel.shape[0]
         dd = lens.shape[1]
+        dh = jnp.take(digs2, sel, axis=0).reshape(b, dd, 68)
         status, _, _ = mpt.verify_proofs_prehashed(
             jnp.take(nodes2, sel, axis=0).reshape(b, dd, -1),
             jnp.take(lens, sel, axis=0),
             jnp.take(num, sel),
-            jnp.take(digs2, sel, axis=0).reshape(b, dd, 32),
+            dh[..., :32],
             jnp.take(roots, sel, axis=0),
             jnp.take(knib, sel, axis=0),
             jnp.take(klen, sel),
+            hints=dh[..., 32:],
             max_value_len=max_value_len, max_steps=max_steps,
         )
     else:
@@ -309,16 +317,22 @@ def _epoch_run(starts, ctr0, nodes2, lens, digs2, num, roots, knib, klen, *,
                 nodes2, (s0, 0), (batch, dd * n_len)).reshape(
                     batch, dd, n_len)
             nb = nb.at[:, :, -1].set(ctr)  # distinct work per epoch
-            digs = jax.lax.dynamic_slice(
-                digs2, (s0, 0), (batch, dd * 32)).reshape(batch, dd, 32)
+            # digests + decode hints share one materialized table; the
+            # epoch counter only touches PADDING bytes, which no decode
+            # chain reaches, so the once-materialized hints stay exact
+            # for the perturbed node bytes (and any disagreement would
+            # merely latch the kernel's exact-fallback, never misclassify)
+            dh = jax.lax.dynamic_slice(
+                digs2, (s0, 0), (batch, dd * 68)).reshape(batch, dd, 68)
             status, _, _ = mpt.verify_proofs_prehashed(
                 nb,
                 jax.lax.dynamic_slice(lens, (s0, 0), (batch, dd)),
                 jax.lax.dynamic_slice(num, (s0,), (batch,)),
-                digs,
+                dh[..., :32],
                 jax.lax.dynamic_slice(roots, (s0, 0), (batch, 32)),
                 jax.lax.dynamic_slice(knib, (s0, 0), (batch, knib.shape[1])),
                 jax.lax.dynamic_slice(klen, (s0,), (batch,)),
+                hints=dh[..., 32:],
                 max_value_len=max_value_len, max_steps=max_steps,
             )
             return acc + _counts_of(status), None

@@ -74,7 +74,8 @@ def verify_merkle_batch(packed: PackedProofs, max_value_len: int = 128,
     nodes; see PackedProofs.pool) — identical results, much less keccak."""
     if dedup:
         status, values, vlens = mpt.verify_proofs_pooled(
-            *packed.astuple(), *packed.pool(), max_value_len=max_value_len
+            *packed.astuple(), *packed.pool(), packed.pool_hints(),
+            max_value_len=max_value_len
         )
     else:
         status, values, vlens = mpt.verify_proofs(
@@ -117,7 +118,8 @@ def verify_account_batch(packed: PackedProofs, dedup: bool = True):
     verify_merkle_batch."""
     if dedup:
         status, values, vlens = mpt.verify_proofs_pooled(
-            *packed.astuple(), *packed.pool(), max_value_len=128
+            *packed.astuple(), *packed.pool(), packed.pool_hints(),
+            max_value_len=128
         )
     else:
         status, values, vlens = mpt.verify_proofs(

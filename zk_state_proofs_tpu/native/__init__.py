@@ -66,6 +66,11 @@ def get_lib():
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
         ]
+    if hasattr(lib, "zkp_item_offsets"):
+        lib.zkp_item_offsets.restype = None
+        lib.zkp_item_offsets.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+        ]
     _lib = lib
     return _lib
 
@@ -140,6 +145,24 @@ def build_node_pool_native(nodes, node_lens, num_nodes,
         raise PackingError("node pool exceeded its capacity bound")
     u = max(-(-used // pad_multiple) * pad_multiple, min_rows)
     return pool_nodes[:u], pool_lens[:u], pool_idx
+
+
+def item_offsets_native(rows):
+    """Native per-node RLP offset-hint scan (zkp_item_offsets) — the
+    host-side producer of the fused walk kernel's decode hints, mirroring
+    ops/rlp.item_offsets. rows u8 [N, L] -> u8 [N, 36], or None when the
+    native library (or symbol) is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "zkp_item_offsets"):
+        return None
+    rows = np.ascontiguousarray(rows, dtype=np.uint8)
+    n, row_len = rows.shape
+    out = np.empty((n, 36), dtype=np.uint8)
+    lib.zkp_item_offsets(
+        rows.ctypes.data_as(ctypes.c_void_p), n, row_len,
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out
 
 
 def pack_proofs_native(entries, max_nodes: int, node_len: int, key_nibbles: int):

@@ -334,7 +334,8 @@ def hash_nodes(nodes, node_lens):
     return digests.reshape(d, b, 32).transpose(1, 0, 2)
 
 
-def hash_nodes_pooled(pool_nodes, pool_lens, pool_idx, with_hints=False):
+def hash_nodes_pooled(pool_nodes, pool_lens, pool_idx, with_hints=False,
+                      pool_hints=None):
     """Phase 1 with deduplicated hashing: digest the unique-node pool once
     and scatter to the per-proof table. pool_nodes u8 [U, N], pool_lens i32
     [U], pool_idx i32 [B, D] -> digests u8 [B, D, 32].
@@ -346,10 +347,14 @@ def hash_nodes_pooled(pool_nodes, pool_lens, pool_idx, with_hints=False):
     per-proof bytes simply share one permutation, where the reference
     re-hashes per proof (crypto-ops/src/lib.rs:10-13).
 
-    with_hints=True additionally runs the serial RLP offset pass once per
-    pool row (ops.rlp.item_offsets) and rides the 36 hint bytes on the
-    SAME one-hot scatter, returning (digests, hints u8 [B, D, 36]) for the
-    fused walk kernel's hinted (parallel-decode) mode.
+    with_hints=True additionally rides the 36 per-node RLP offset-hint
+    bytes on the SAME one-hot scatter, returning (digests, hints u8
+    [B, D, 36]) for the fused walk kernel's hinted (parallel-decode)
+    mode. Hints come from `pool_hints` (u8 [U, 36], computed for ~free
+    on the host at pack time — PackedProofs.pool_hints()) when given;
+    otherwise from the device pass (ops.rlp.item_offsets — ~0.34 ms per
+    5.6k-row pool on v5e: 18 sequential tiny fetches, launch-bound, so
+    prefer pack-time hints on streamed paths).
     """
     b, d = pool_idx.shape
     u = pool_nodes.shape[0]
@@ -363,10 +368,11 @@ def hash_nodes_pooled(pool_nodes, pool_lens, pool_idx, with_hints=False):
         pool_dig = keccak256(pool_nodes, pool_lens)
     payload = pool_dig
     if with_hints:
-        from .rlp import item_offsets
+        if pool_hints is None:
+            from .rlp import item_offsets
 
-        payload = jnp.concatenate(
-            [pool_dig, item_offsets(pool_nodes)], axis=1)  # u8 [U, 68]
+            pool_hints = item_offsets(pool_nodes)
+        payload = jnp.concatenate([pool_dig, pool_hints], axis=1)  # [U, 68]
     onehot = (
         jnp.arange(u, dtype=jnp.int32)[None, :] == pool_idx.reshape(b * d)[:, None]
     ).astype(jnp.bfloat16)
@@ -385,6 +391,7 @@ def hash_nodes_pooled(pool_nodes, pool_lens, pool_idx, with_hints=False):
                                     "conditional", "hinted"))
 def verify_proofs_pooled(nodes, node_lens, num_nodes, roots, key_nibbles,
                          key_lens, pool_nodes, pool_lens, pool_idx,
+                         pool_hints=None,
                          max_value_len: int = 128, max_steps: int | None = None,
                          conditional: bool = True, hinted: bool = True):
     """`verify_proofs` with deduplicated hashing (see hash_nodes_pooled).
@@ -392,16 +399,19 @@ def verify_proofs_pooled(nodes, node_lens, num_nodes, roots, key_nibbles,
 
     hinted=True (TPU): the pool scatter also carries per-node RLP offset
     hints so the fused kernel decodes without its serial header chain
-    (results bit-identical; see walk_batch_pallas). Pass hinted=False for
-    workloads dominated by inline-child steps (storage tries with short
-    values), where the hinted fast path would always defer to the exact
-    re-run and cost an extra kernel."""
+    (results bit-identical; see walk_batch_pallas). Pass
+    pool_hints=packed.pool_hints() (u8 [U, 36]) to use the ~free
+    pack-time host scan instead of the device hint pass. Pass
+    hinted=False for workloads dominated by inline-child steps (storage
+    tries with short values), where the hinted fast path would always
+    defer to the exact re-run and cost an extra kernel."""
     if jax.default_backend() == "tpu":
         from .mpt_pallas import walk_batch_pallas
 
         if hinted:
             digests, hints = hash_nodes_pooled(pool_nodes, pool_lens,
-                                               pool_idx, with_hints=True)
+                                               pool_idx, with_hints=True,
+                                               pool_hints=pool_hints)
         else:
             digests = hash_nodes_pooled(pool_nodes, pool_lens, pool_idx)
             hints = None
@@ -429,12 +439,13 @@ def hash_pool(pool_nodes, pool_lens):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("max_value_len", "max_steps", "conditional"))
+                   static_argnames=("max_value_len", "max_steps",
+                                    "conditional", "hinted"))
 def verify_proofs_indexed(pool_nodes, pool_lens, pool_digests, pool_idx,
                           num_nodes, roots, key_nibbles, key_lens,
                           max_value_len: int = 128,
                           max_steps: int | None = None,
-                          conditional: bool = True):
+                          conditional: bool = True, hinted: bool = True):
     """Verification against a DEVICE-RESIDENT witness pool.
 
     The streaming counterpart of verify_proofs_pooled for repeated sweeps
@@ -458,13 +469,26 @@ def verify_proofs_indexed(pool_nodes, pool_lens, pool_digests, pool_idx,
     flat = pool_idx.reshape(b * d)
     nodes = jnp.take(pool_nodes, flat, axis=0).reshape(b, d, -1)
     node_lens = jnp.take(pool_lens, flat).reshape(b, d)
-    digests = jnp.take(pool_digests, flat, axis=0).reshape(b, d, 32)
-    if jax.default_backend() == "tpu":
+    on_tpu = jax.default_backend() == "tpu"
+    hints = None
+    if hinted and on_tpu:
+        # hint rows ride the SAME row gather as the digests (concat before
+        # the take — row-gather cost is per ROW, not per byte, so the 68-B
+        # rows cost what the 32-B digest rows did)
+        from .rlp import item_offsets
+
+        payload = jnp.concatenate(
+            [pool_digests, item_offsets(pool_nodes)], axis=1)
+        taken = jnp.take(payload, flat, axis=0).reshape(b, d, 68)
+        digests, hints = taken[..., :32], taken[..., 32:]
+    else:
+        digests = jnp.take(pool_digests, flat, axis=0).reshape(b, d, 32)
+    if on_tpu:
         from .mpt_pallas import walk_batch_pallas
 
         return walk_batch_pallas(nodes, node_lens, num_nodes, digests, roots,
                                  key_nibbles, key_lens, max_value_len,
-                                 max_steps)
+                                 max_steps, hints=hints)
     return walk_batch(nodes, node_lens, num_nodes, digests, roots,
                       key_nibbles, key_lens, max_value_len, max_steps,
                       conditional)[:3]
@@ -473,7 +497,8 @@ def verify_proofs_indexed(pool_nodes, pool_lens, pool_digests, pool_idx,
 @functools.partial(jax.jit,
                    static_argnames=("max_value_len", "max_steps", "conditional"))
 def verify_proofs_prehashed(nodes, node_lens, num_nodes, digests, roots,
-                            key_nibbles, key_lens, max_value_len: int = 128,
+                            key_nibbles, key_lens, hints=None,
+                            max_value_len: int = 128,
                             max_steps: int | None = None,
                             conditional: bool = True):
     """The walk phase alone, against PRECOMPUTED node digests.
@@ -487,13 +512,16 @@ def verify_proofs_prehashed(nodes, node_lens, num_nodes, digests, roots,
     rows). Digests MUST come from hashing the same node bytes (the
     sweep materializes both from the same pool rows); the walker still
     checks every per-proof hash link against `roots` (the reference
-    re-hashes per proof, crypto-ops/src/lib.rs:10-13)."""
+    re-hashes per proof, crypto-ops/src/lib.rs:10-13). Optional `hints`
+    (u8 [B, D, 36], materialized like the digests from
+    ops.rlp.item_offsets pool rows) select the kernel's parallel-decode
+    hinted mode on TPU."""
     if jax.default_backend() == "tpu":
         from .mpt_pallas import walk_batch_pallas
 
         return walk_batch_pallas(nodes, node_lens, num_nodes, digests, roots,
                                  key_nibbles, key_lens, max_value_len,
-                                 max_steps)
+                                 max_steps, hints=hints)
     return walk_batch(nodes, node_lens, num_nodes, digests, roots,
                       key_nibbles, key_lens, max_value_len, max_steps,
                       conditional)[:3]

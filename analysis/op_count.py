@@ -170,7 +170,7 @@ def count_keccak(num_blocks=1):
     return ops / TILE, per  # lane-ops per message
 
 
-def count_walk(d=7, nw=144, kn=64, max_steps=7):
+def count_walk(d=7, nw=144, kn=64, max_steps=7, mode="bounded"):
     from zk_state_proofs_tpu.ops.mpt_pallas import TILE, _walk_lanes
 
     bt = 1
@@ -181,11 +181,24 @@ def count_walk(d=7, nw=144, kn=64, max_steps=7):
     root = jnp.zeros((bt, 8, 8, 128), jnp.int32)
     knib = jnp.zeros((bt, kn, 8, 128), jnp.int32)
     klen = jnp.zeros((bt, 8, 128), jnp.int32)
+    args = (words, nlens, nnum, dig, root, knib, klen)
+    if mode == "hinted":
+        args = args + (jnp.zeros((bt, d, 9, 8, 128), jnp.int32),)
     jx = jax.make_jaxpr(
-        lambda *a: _walk_lanes(*a, max_steps=max_steps, bounded=True))(
-            words, nlens, nnum, dig, root, knib, klen)
+        lambda *a: _walk_lanes(*a, max_steps=max_steps, mode=mode))(*args)
     ops, per = _count_jaxpr(jx.jaxpr)
     return ops / TILE, per  # lane-ops per proof (all steps live)
+
+
+def count_keccak_raw(num_blocks=1, nw=144):
+    from zk_state_proofs_tpu.ops.keccak_pallas import TILE, _keccak_lanes_raw
+
+    words = jnp.zeros((1, nw, 8, 128), jnp.uint32)
+    nl = jnp.ones((1, 8, 128), jnp.int32)
+    jx = jax.make_jaxpr(
+        lambda a, b: _keccak_lanes_raw(a, b, num_blocks=num_blocks))(words, nl)
+    ops, per = _count_jaxpr(jx.jaxpr)
+    return ops / TILE, per  # lane-ops per message
 
 
 V5E_VPU_PEAK = 8 * 128 * 4 * 1.5e9  # lanes x ALUs x clock = 6.1e12 ops/s
@@ -196,9 +209,15 @@ def main():
     print(f"keccak-256 single-block: {k1:,.0f} lane-ops/hash")
     k4, _ = count_keccak(4)
     print(f"keccak-256 4-block (532 B bucket): {k4:,.0f} lane-ops/hash")
+    kr5, _ = count_keccak_raw(5, nw=144)
+    print(f"keccak-256 raw-word 5-block (576 B pool rows): "
+          f"{kr5:,.0f} lane-ops/hash (incl. in-kernel pad+assembly)")
     w, per = count_walk()
     print(f"fused walk (d=7, 576 B nodes, 7 steps): {w:,.0f} lane-ops/proof")
-    unknown = {p: v for p, v in per.items() if p.startswith("?")}
+    wh, perh = count_walk(mode="hinted")
+    print(f"fused walk HINTED (same shape): {wh:,.0f} lane-ops/proof")
+    unknown = {p: v for p, v in {**per, **perh}.items()
+               if p.startswith("?")}
     if unknown:
         print("  unrecognized primitives (counted 1/op):", unknown)
 
@@ -206,7 +225,7 @@ def main():
     measured = {
         "keccak single-block (97e6 hashes/s r4)": (97e6, k1),
         "keccak 4-block (32.6e6 hashes/s r4)": (32.6e6, k4),
-        "walk headline (5.10e6 proofs/s r4, depth<=7)": (5.10e6, w),
+        "walk headline hinted (5.59e6 proofs/s r4, depth<=7)": (5.59e6, wh),
     }
     one_op = 8 * 128 * 1.5e9
     print(f"\nv5e VPU peak assumed: {V5E_VPU_PEAK:.2e} lane-ops/s "

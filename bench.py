@@ -127,7 +127,7 @@ def bench_verify(batch=4096, iters=20, n_accounts=None, label="distinct"):
     @jax.jit
     def step(nodes, pool_nodes, ctr):
         def body(_, carry):
-            ctr, acc = carry
+            ctr, acc, accv = carry
             ctr = ctr + 1
             perturbed = nodes.at[:, :, -1].set(ctr.astype(jnp.uint8))
             ppool = pool_nodes.at[:, -1].set(ctr.astype(jnp.uint8))
@@ -135,10 +135,18 @@ def bench_verify(batch=4096, iters=20, n_accounts=None, label="distinct"):
             # chain reaches the last padding byte (nodes are < the bucket
             # size), and a mismatch would only latch the exact fallback
             s, v, l = fn(perturbed, *args[1:], ppool, *pargs[1:], ph)
-            return ctr, acc + s
-        ctr, acc = jax.lax.fori_loop(
-            0, K_INNER, body, (ctr, jnp.zeros((nodes.shape[0],), jnp.int32)))
-        return acc, ctr
+            # fold the extracted VALUES into a live accumulator: the
+            # measured step must include value extraction (the reference's
+            # verify RETURNS the value, crypto-ops/src/lib.rs:20-22) — an
+            # unused `v` would be dead-code-eliminated by XLA and the
+            # "full pipeline" rate would silently exclude extraction
+            accv = accv ^ v[:, 0].astype(jnp.int32) ^ (l << 8)
+            return ctr, acc + s, accv
+        ctr, acc, accv = jax.lax.fori_loop(
+            0, K_INNER, body,
+            (ctr, jnp.zeros((nodes.shape[0],), jnp.int32),
+             jnp.zeros((nodes.shape[0],), jnp.int32)))
+        return acc, accv, ctr
 
     # salt the counter start per process: a rerun with identical dispatch
     # sequences could be served from the relay's duplicate-dispatch cache
@@ -151,8 +159,8 @@ def bench_verify(batch=4096, iters=20, n_accounts=None, label="distinct"):
     _log(f"perturbation salt: {salt}")
     ctr0 = jnp.asarray(np.int32(salt))
     t0 = time.time()
-    acc, ctr = step(nodes, pool_nodes, ctr0)
-    jax.block_until_ready(acc)
+    acc, accv, ctr = step(nodes, pool_nodes, ctr0)
+    jax.block_until_ready((acc, accv))
     _log(f"iterated-step compile+1st: {time.time()-t0:.1f}s")
     assert (np.asarray(acc) == K_INNER * mpt.FOUND).all(), \
         "perturbed padding changed results"
@@ -161,8 +169,8 @@ def bench_verify(batch=4096, iters=20, n_accounts=None, label="distinct"):
         t0 = time.time()
         out = None
         for _ in range(iters):
-            out, ctr = step(nodes, pool_nodes, ctr)
-        jax.block_until_ready(out)
+            out, outv, ctr = step(nodes, pool_nodes, ctr)
+        np.asarray(out), np.asarray(outv)
         dt = (time.time() - t0) / (iters * K_INNER)
         best = min(best, dt)
         _log(f"[{label}] rep{rep}: {dt*1e3:.2f} ms/batch -> {batch/dt:,.0f} proofs/s")

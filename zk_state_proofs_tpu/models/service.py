@@ -129,8 +129,12 @@ class BatchVerifier:
             out = fn(*(packed.astuple() + (active,) + pool))
             return out[0], out[1], out[2]
         if self.dedup:
+            # pack-time offset hints: ~free on the host, and the fused
+            # kernel decodes without its serial header chain (falls back
+            # to the exact kernel on any mismatch — speed, not soundness)
             return mpt.verify_proofs_pooled(
-                *packed.astuple(), *packed.pool(), max_value_len=mvl)
+                *packed.astuple(), *packed.pool(),
+                packed.pool_hints(), max_value_len=mvl)
         return mpt.verify_proofs(*packed.astuple(), max_value_len=mvl)
 
     def verify(self, entries) -> VerifyResult:

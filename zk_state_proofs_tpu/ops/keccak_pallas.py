@@ -208,6 +208,144 @@ def _keccak_lanes(msg_hi, msg_lo, nblocks, *, num_blocks: int, masked: bool):
     )(*inputs)
 
 
+def _keccak_kernel_raw(num_blocks: int, n_words: int, rc_ref, nlen_ref,
+                       words_ref, out_ref, st_ref):
+    """Masked sponge over RAW row words: the Keccak pad10*1 and the
+    byte->lane assembly happen IN-REGISTER here instead of as XLA
+    elementwise passes over [B, NB*RATE] byte tensors (pad_messages +
+    bytes_to_lanes + two big transposes measured ~55% of small-pool hash
+    time on v5e — more than the permutations themselves).
+
+    words_ref: u32 [1, n_words, sub, 128] — little-endian u32 words of
+    the row bytes (a free bitcast on the host/XLA side: word k = bytes
+    4k..4k+3, byte 4k lowest). Keccak lane j of block ib is exactly words
+    (34*ib + 2*j, +1) as (lo, hi) — 136 % 8 == 0 keeps every lane
+    4-aligned, so assembly is indexing plus length masks, no shuffles.
+    nlen_ref: i32 [1, sub, 128] byte lengths. Per-tile block skip as in
+    the byte-path masked kernel."""
+    zero = jnp.zeros(nlen_ref.shape[1:], jnp.uint32)
+    for w in range(25):
+        st_ref[w] = zero
+        st_ref[25 + w] = zero
+    nlen = nlen_ref[0]
+    nblk = nlen // int(RATE) + 1
+    q80 = nblk * int(RATE) - 1  # byte position of the 0x80 domain bit
+
+    def assemble(widx: int, q: int):
+        """Lane half at static row-word widx covering bytes q..q+3:
+        raw bytes masked to the message length, 0x01 pad at byte `len`,
+        0x80 at the last byte of the message's final rate block."""
+        raw = words_ref[0, widx] if widx < n_words else zero
+        nb = nlen - q  # bytes of this word inside the message
+        m = jnp.where(
+            nb <= 0, jnp.uint32(0),
+            jnp.where(nb == 1, jnp.uint32(0xFF),
+                      jnp.where(nb == 2, jnp.uint32(0xFFFF),
+                                jnp.where(nb == 3, jnp.uint32(0xFFFFFF),
+                                          jnp.uint32(0xFFFFFFFF)))))
+        x = raw & m
+        # legacy 0x01 pad byte at offset `len` (little-endian byte order)
+        x = x ^ jnp.where(
+            nb == 0, jnp.uint32(0x01),
+            jnp.where(nb == 1, jnp.uint32(0x0100),
+                      jnp.where(nb == 2, jnp.uint32(0x010000),
+                                jnp.where(nb == 3, jnp.uint32(0x01000000),
+                                          jnp.uint32(0)))))
+        e = q80 - q
+        x = x ^ jnp.where(
+            e == 0, jnp.uint32(0x80),
+            jnp.where(e == 1, jnp.uint32(0x8000),
+                      jnp.where(e == 2, jnp.uint32(0x800000),
+                                jnp.where(e == 3, jnp.uint32(0x80000000),
+                                          jnp.uint32(0)))))
+        return x
+
+    for ib in range(num_blocks):
+        @pl.when(jnp.any(nblk > ib) if ib > 0 else True)
+        def _(ib=ib):
+            sh = [st_ref[w] for w in range(25)]
+            sl = [st_ref[25 + w] for w in range(25)]
+            xh, xl = list(sh), list(sl)
+            for w in range(WORDS):
+                base = 34 * ib + 2 * w
+                q = int(RATE) * ib + 8 * w
+                xl[w] = sl[w] ^ assemble(base, q)
+                xh[w] = sh[w] ^ assemble(base + 1, q + 4)
+            nh, nl = _permute(xh, xl, rc_ref)
+            if ib > 0:
+                active = nblk > ib
+                nh = [jnp.where(active, a, b) for a, b in zip(nh, sh)]
+                nl = [jnp.where(active, a, b) for a, b in zip(nl, sl)]
+            for w in range(25):
+                st_ref[w] = nh[w]
+                st_ref[25 + w] = nl[w]
+    for w in range(4):
+        out_ref[0, w, 0] = st_ref[w]
+        out_ref[0, w, 1] = st_ref[25 + w]
+
+
+@functools.partial(jax.jit, static_argnames=("num_blocks",))
+def _keccak_lanes_raw(words, nlens, *, num_blocks: int):
+    """words: u32 [Bt, NW, TILE_SUB, 128] (LE row words, lane-tiled);
+    nlens: i32 [Bt, TILE_SUB, 128]. Returns u32 [Bt, 4, 2, TILE_SUB, 128]
+    digest lanes, identical to _keccak_lanes."""
+    bt, nw = words.shape[0], words.shape[1]
+    kernel = functools.partial(_keccak_kernel_raw, num_blocks, nw)
+    return pl.pallas_call(
+        kernel,
+        grid=(bt,),
+        in_specs=[
+            pl.BlockSpec((24, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, TILE_SUB, TILE_LANE), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nw, TILE_SUB, TILE_LANE), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 4, 2, TILE_SUB, TILE_LANE),
+            lambda i: (i, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bt, 4, 2, TILE_SUB, TILE_LANE),
+                                       jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((50, TILE_SUB, TILE_LANE), jnp.uint32)],
+        interpret=jax.default_backend() != "tpu",
+    )(jnp.asarray(_RC), nlens, words)
+
+
+def keccak256_tpu_raw(data, lengths=None):
+    """keccak256_tpu via the raw-word kernel (pad + lane assembly fused
+    in-kernel). Bit-identical digests. NEGATIVE RESULT on v5e (kept as a
+    documented experiment): 0.285 ms vs the byte-path kernel's 0.251 ms
+    on the 5632x576 headline pool — the in-register select chains of the
+    assembly cost more than the XLA pad/lane/transpose pre-passes they
+    replace (XLA fuses those well). data u8 [B, L], lengths i32 [B]."""
+    data = jnp.asarray(data, dtype=jnp.uint8)
+    b, max_len = data.shape
+    if lengths is None:
+        lengths = jnp.full((b,), max_len, dtype=jnp.int32)
+    else:
+        lengths = jnp.asarray(lengths, dtype=jnp.int32)
+    num_blocks = max_len // RATE + 1
+    bp = -(-b // TILE) * TILE
+    if bp != b:
+        data = jnp.pad(data, ((0, bp - b), (0, 0)))
+        lengths = jnp.pad(lengths, (0, bp - b))
+    l8 = -(-max_len // 8) * 8
+    if l8 != max_len:
+        data = jnp.pad(data, ((0, 0), (0, l8 - max_len)))
+    # free little-endian u32 view of the row bytes (TPU is little-endian)
+    words = jax.lax.bitcast_convert_type(
+        data.reshape(bp, l8 // 4, 4), jnp.uint32)  # [Bp, W]
+    bt = bp // TILE
+    words = words.reshape(bt, TILE_SUB, TILE_LANE, l8 // 4).transpose(
+        0, 3, 1, 2)
+    nl = lengths.reshape(bt, TILE_SUB, TILE_LANE)
+    out = _keccak_lanes_raw(words, nl, num_blocks=num_blocks)
+    out = out.transpose(0, 3, 4, 1, 2).reshape(bp, 4, 2)
+    return lanes_to_bytes(out[:, :, 0], out[:, :, 1])[:b]
+
+
 def keccak256_tpu(data, lengths=None, *, unpadded_count=None):
     """Batched Ethereum Keccak-256 via the Pallas kernel.
 

@@ -237,13 +237,65 @@ def _init_carry(num_nodes, digests, roots):
     return (root_idx, zero, zero, status0, zero, zero, zero, reason0)
 
 
+def _word_shift_window(words, start_col, out_cols: int):
+    """Per-row dynamic window over the column axis via a binary shift
+    cascade: out[b, j] = words[b, start_col_b + j] (0 past the end).
+    log2(C) stages of static slices + row-selects — no gathers, no
+    one-hot materialization, so it scales to wide windows (tx values)
+    where a one-hot select matrix would be GBs. Stages run with
+    DESCENDING shifts and truncate progressively (see the in-kernel
+    _dyn_window twin, ops/mpt_pallas.py)."""
+    b, c = words.shape
+    nbits = max(1, (c - 1).bit_length())
+    cur = words
+    for bit in reversed(range(nbits)):
+        s = 1 << bit
+        need = min(c, out_cols + s - 1)
+        base = cur[:, :need]
+        avail = max(cur.shape[1] - s, 0)
+        if avail <= 0:
+            shifted = jnp.zeros((b, need), cur.dtype)
+        elif avail >= need:
+            shifted = cur[:, s:s + need]
+        else:
+            shifted = jnp.pad(cur[:, s:], ((0, 0), (0, need - avail)))
+        take = ((start_col >> bit) & 1) == 1
+        cur = jnp.where(take[:, None], shifted, base)
+    if cur.shape[1] < out_cols:  # buffer narrower than the window
+        cur = jnp.pad(cur, ((0, 0), (0, out_cols - cur.shape[1])))
+    return cur[:, :out_cols]
+
+
 def _extract_value(nodes, carry, max_value_len: int):
+    """Slice each proof's value bytes out of its terminal node.
+
+    Gather-free: TPU row/element gathers cost ~10 ns/element, which made
+    a take_along_axis extraction ~5.9 ms at [4096, 128] — longer than
+    the entire hash+walk. Instead: masked-sum node-row select over the
+    i32 word view (D terms), a word-granular shift-cascade window at
+    vstart//4, then a static 4-way byte alignment. ~0.1 ms at the
+    headline shape and memory-sane at tx-size values (2 KB windows)."""
     node_idx, off, key_pos, status, vnode, vstart, vlen, reason = carry
-    val_buf = jnp.take_along_axis(nodes, vnode[:, None, None], axis=1)[:, 0]
-    idx = jnp.clip(vstart[:, None] + jnp.arange(max_value_len)[None, :], 0,
-                   val_buf.shape[1] - 1)
+    b, d, n = nodes.shape
+    n4 = -(-n // 4) * 4
+    if n4 != n:
+        nodes = jnp.pad(nodes, ((0, 0), (0, 0), (0, n4 - n)))
+    w = nodes.astype(jnp.int32).reshape(b, d, n4 // 4, 4)
+    words = (w[..., 0] << 24) | (w[..., 1] << 16) | (w[..., 2] << 8) | w[..., 3]
+    valw = jnp.zeros((b, n4 // 4), jnp.int32)
+    for dd in range(d):
+        valw = jnp.where((vnode == dd)[:, None], words[:, dd], valw)
+    vc = jnp.clip(vstart, 0, n4 - 1)
+    k = max_value_len // 4 + 2
+    win = _word_shift_window(valw, vc >> 2, k)  # [B, K]
+    by = jnp.stack([(win >> 24) & 255, (win >> 16) & 255,
+                    (win >> 8) & 255, win & 255], axis=-1).reshape(b, 4 * k)
+    r = vc & 3
+    out = by[:, 0:max_value_len]
+    for s in (1, 2, 3):
+        out = jnp.where((r == s)[:, None], by[:, s:s + max_value_len], out)
     value = jnp.where(jnp.arange(max_value_len)[None, :] < vlen[:, None],
-                      jnp.take_along_axis(val_buf, idx, axis=1), 0)
+                      out, 0)
     vlen = jnp.where(status == FOUND, vlen, 0)
     return status, value.astype(jnp.uint8), vlen
 

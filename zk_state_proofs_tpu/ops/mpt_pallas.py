@@ -165,7 +165,9 @@ def _walk_kernel(d: int, nw: int, kn: int, max_steps: int, mode: str,
       'bounded' — serial 17-item chain with window-bounded fetches.
       'exact'   — serial chain with full-width fetches (the fallback).
     """
-    if mode == "hinted":
+    if mode in ("hinted", "hinted4"):
+        # "hinted4" = hinted with full 4-byte header fetches on every
+        # item (A/B baseline for the 1-byte branch-slot fetch)
         hints_ref, out_ref, cur_ref = refs
         curs_ref = None
     elif mode == "bounded":
@@ -174,7 +176,7 @@ def _walk_kernel(d: int, nw: int, kn: int, max_steps: int, mode: str,
         out_ref, cur_ref, curs_ref = refs
         hints_ref = None
     bounded = mode == "bounded"
-    hinted = mode == "hinted"
+    hinted = mode in ("hinted", "hinted4")
     RUNNING, FOUND = mpt_ref.RUNNING, mpt_ref.FOUND
     EXCLUDED, INVALID = mpt_ref.EXCLUDED, mpt_ref.INVALID
     maxnib = kn
@@ -300,6 +302,21 @@ def _walk_kernel(d: int, nw: int, kn: int, max_steps: int, mode: str,
                 b8 = list(_bytes_of_word(w1)) + list(_bytes_of_word(w2))
                 return _align4(r, b8)
 
+            def fetch_hint_b0(pos, hi_rows: int):
+                """First header byte only — one masked reduce, no
+                cross-word alignment."""
+                pc = jnp.clip(pos, 0, nw * 4 - 1)
+                wp = pc >> 2
+                r = pc & 3
+                hi = min(nw, hi_rows)
+                iota = jax.lax.broadcasted_iota(jnp.int32, (hi,) + tile, 0)
+                m = iota == wp[None]
+                w1 = jnp.sum(jnp.where(m, cur[:hi], 0), axis=0)
+                b = (w1 >> 24) & 255
+                for s in (1, 2, 3):
+                    b = jnp.where(r == s, (w1 >> (24 - 8 * s)) & 255, b)
+                return b
+
             sel = {
                 "i0_pay": zero, "i0_len": zero, "i0_list": zero,
                 "i1_start": zero, "i1_pay": zero, "i1_len": zero,
@@ -316,9 +333,31 @@ def _walk_kernel(d: int, nw: int, kn: int, max_steps: int, mode: str,
                 # same live-window bound as the bounded kernel: item i of a
                 # well-formed branch/pair starts within 10 + 35*i bytes
                 ovf = ovf | _i32(present & live0 & (hi_i > 10 + 35 * i))
-                ib = fetch_hint(hi_i, (10 + 35 * i + 8) // 4 + 2)
-                ipo, ipl, ilist, ok = _head_fields(ib)
-                ilist = _i32(ilist)
+                if 2 <= i <= 15 and mode != "hinted4":
+                    # branch slots 2..15 hold only short-form items in any
+                    # honest trie (33-B hash refs, 1-B empties, <56-B
+                    # inline children): the header is fully determined by
+                    # its FIRST byte, so fetch one byte instead of an
+                    # aligned 4-byte window (half the reduce volume, no
+                    # alignment cascade). A long-form item here (crafted
+                    # node) latches ovf -> exact re-run, like every other
+                    # hinted-mode escape hatch.
+                    b0 = fetch_hint_b0(hi_i, (10 + 35 * i + 8) // 4 + 2)
+                    single = b0 < 0x80
+                    short_str = (b0 >= 0x80) & (b0 <= 0xB7)
+                    short_list = (b0 >= 0xC0) & (b0 <= 0xF7)
+                    longf = ~single & ~short_str & ~short_list
+                    ovf = ovf | _i32(present & live0 & longf)
+                    ipo = jnp.where(single, 0, 1)
+                    ipl = jnp.where(
+                        single, 1,
+                        jnp.where(short_str, b0 - 0x80, b0 - 0xC0))
+                    ilist = _i32(b0 >= 0xC0)
+                    ok = ~longf
+                else:
+                    ib = fetch_hint(hi_i, (10 + 35 * i + 8) // 4 + 2)
+                    ipo, ipl, ilist, ok = _head_fields(ib)
+                    ilist = _i32(ilist)
                 ips = hi_i + ipo
                 # boolean algebra, not where(): Mosaic can't select on i1
                 chain_ok = chain_ok & (
@@ -599,7 +638,7 @@ def _walk_lanes(words, nlens, nnum, dig, root, knib, klen, hints=None, *,
     spec = lambda *lead: pl.BlockSpec(
         (1,) + lead + tile, lambda i: (i,) + (0,) * (len(lead) + 2),
         memory_space=pltpu.VMEM)
-    hinted = mode == "hinted"
+    hinted = mode in ("hinted", "hinted4")
     args = (words, nlens, nnum, dig, root, knib, klen)
     if hinted:
         args = args + (hints,)
@@ -712,8 +751,9 @@ def walk_batch_pallas(nodes, node_lens, num_nodes, digests, roots,
         _lanes(key_lens.astype(jnp.int32), bt, sub),
     )
     if hints is not None:
+        hmode = "hinted4" if _os.environ.get("ZKP_WALK_HINT4") else "hinted"
         fast = _walk_lanes(*lanes_in, _lanes(_to_words(hints), bt, sub),
-                           max_steps=max_steps, mode="hinted")
+                           max_steps=max_steps, mode=hmode)
     else:
         fast = _walk_lanes(*lanes_in, max_steps=max_steps, mode="bounded")
     # Fast-path overflow (bounded mode: crafted nodes whose well-formed

@@ -289,6 +289,41 @@ def test_pallas_hinted_parity_and_fast_path():
     assert (np.asarray(s2)[:12] == mpt.FOUND).all()
 
 
+def test_pallas_hinted1_single_pass_parity():
+    """hinted1 (single-pass union-window fetch — each cur row read once,
+    feeding every item accumulator) must decode bit-identically to
+    'hinted': same statuses/values/reasons, and no exact-kernel fallback
+    on an honest inline-free batch."""
+    t = EthTrie()
+    keys = []
+    for i in range(64):
+        k = keccak256(b"h1p-%d" % i)
+        t.insert(k, b"\x09" + bytes([i]) * 40)
+        keys.append(k)
+    root = t.root_hash()
+    entries = [(root, t.get_proof(k), k) for k in keys[:12]]
+    absent = keccak256(b"h1p-absent")
+    entries.append((root, t.get_proof(absent), absent))          # EXCLUDED
+    entries.append((b"\x31" * 32, t.get_proof(keys[1]), keys[1]))  # root miss
+    entries.append((root, t.get_proof(keys[2])[:1], keys[2]))    # hash miss
+    crafted = rlp.encode([b"\x01"])
+    entries.append((keccak256(crafted), [crafted], keys[3]))     # malformed
+
+    packed = pack_proofs(entries)
+    args = [jnp.asarray(a) for a in packed.astuple()]
+    dig = mpt.hash_nodes(args[0], args[1])
+    hints = _hints_for(packed)
+    s1, v1, l1, r1 = mpt.walk_batch(*args[:3], dig, *args[3:], 128)
+    s2, v2, l2, r2, ovf = walk_batch_pallas(
+        *args[:3], dig, *args[3:], 128, hints=hints, with_reasons=True,
+        with_overflow=True, hint_mode="hinted1")
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+    assert (np.asarray(ovf)[:len(entries)] == 0).all()
+
+
 def test_pallas_hinted_inline_falls_back():
     """Inline (<32 B) children cannot be described by node-level hints:
     those steps latch the overflow flag and the exact kernel re-run keeps

@@ -440,12 +440,13 @@ def hash_nodes_pooled(pool_nodes, pool_lens, pool_idx, with_hints=False,
 
 @functools.partial(jax.jit,
                    static_argnames=("max_value_len", "max_steps",
-                                    "conditional", "hinted"))
+                                    "conditional", "hinted", "hint_mode"))
 def verify_proofs_pooled(nodes, node_lens, num_nodes, roots, key_nibbles,
                          key_lens, pool_nodes, pool_lens, pool_idx,
                          pool_hints=None,
                          max_value_len: int = 128, max_steps: int | None = None,
-                         conditional: bool = True, hinted: bool = True):
+                         conditional: bool = True, hinted: bool = True,
+                         hint_mode: str | None = None):
     """`verify_proofs` with deduplicated hashing (see hash_nodes_pooled).
     The pool is produced by witness packing (PackedProofs.pool()).
 
@@ -469,7 +470,7 @@ def verify_proofs_pooled(nodes, node_lens, num_nodes, roots, key_nibbles,
             hints = None
         return walk_batch_pallas(nodes, node_lens, num_nodes, digests, roots,
                                  key_nibbles, key_lens, max_value_len,
-                                 max_steps, hints=hints)
+                                 max_steps, hints=hints, hint_mode=hint_mode)
     digests = hash_nodes_pooled(pool_nodes, pool_lens, pool_idx)
     return walk_batch(nodes, node_lens, num_nodes, digests, roots,
                       key_nibbles, key_lens, max_value_len, max_steps,

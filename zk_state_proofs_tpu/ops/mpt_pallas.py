@@ -154,6 +154,7 @@ def _dyn_window(arr, start_row, out_rows: int):
 
 
 def _walk_kernel(d: int, nw: int, kn: int, max_steps: int, mode: str,
+                 vw: int,
                  words_ref, nlen_ref, nnum_ref, dig_ref, root_ref, knib_ref,
                  klen_ref, *refs):
     """mode selects the decode strategy (identical classification on every
@@ -164,10 +165,20 @@ def _walk_kernel(d: int, nw: int, kn: int, max_steps: int, mode: str,
                   parallel; no serial dependency, off==0 statically.
       'bounded' — serial 17-item chain with window-bounded fetches.
       'exact'   — serial chain with full-width fetches (the fallback).
-    """
-    if mode in ("hinted", "hinted4"):
+
+    vw > 0 additionally emits the value WINDOW (vw word rows of the
+    terminal node starting at vstart//4) in output rows 6..6+vw, captured
+    at the FOUND transition while the node is already VMEM-resident —
+    value extraction as an XLA post-stage costs ~0.11 ms/4096 (word
+    shift-cascade over HBM-fetched rows); in-kernel it is one cascade
+    over `cur`. The caller byte-aligns with vstart & 3."""
+    if mode in ("hinted", "hinted4", "hinted1"):
         # "hinted4" = hinted with full 4-byte header fetches on every
         # item (A/B baseline for the 1-byte branch-slot fetch)
+        # "hinted1" = hinted with a SINGLE-PASS union-window fetch: each
+        # consulted cur row is read once and feeds every item
+        # accumulator whose window covers it (A/B vs 17 overlapping
+        # per-item masked reduces — the kernel is VMEM-traffic-bound)
         hints_ref, out_ref, cur_ref = refs
         curs_ref = None
     elif mode == "bounded":
@@ -176,7 +187,7 @@ def _walk_kernel(d: int, nw: int, kn: int, max_steps: int, mode: str,
         out_ref, cur_ref, curs_ref = refs
         hints_ref = None
     bounded = mode == "bounded"
-    hinted = mode in ("hinted", "hinted4")
+    hinted = mode in ("hinted", "hinted4", "hinted1")
     RUNNING, FOUND = mpt_ref.RUNNING, mpt_ref.FOUND
     EXCLUDED, INVALID = mpt_ref.EXCLUDED, mpt_ref.INVALID
     maxnib = kn
@@ -219,17 +230,60 @@ def _walk_kernel(d: int, nw: int, kn: int, max_steps: int, mode: str,
                         mpt_ref.R_NONE).astype(jnp.int32)
     carry = (root_idx, zero, zero, status, zero, zero, zero, zero, reason0)
 
+    if vw:
+        for j in range(vw):
+            out_ref[0, 6 + j] = zero
+
     def step_body(carry):
         node_idx, off, key_pos, status, vnode, vstart, vlen, ovf, reason = carry
 
         # materialize the current node's words; the node-select masks are
         # loop-invariant over the word axis — computed once, not per row
         is_dd = [node_idx == dd for dd in range(1, d)]
+        if mode == "hinted1":
+            # hinted1 fuses the union-window item fetch INTO this loop:
+            # accumulators feed off the freshly selected word value, so
+            # the decode never waits on the cur_ref store->load round
+            # trip and each consulted row costs zero extra reads. Hint
+            # words are selected first (independent of cur).
+            h1_hwords = []
+            for w in range(9):
+                x = hints_ref[0, 0, w]
+                for dd in range(1, d):
+                    x = jnp.where(is_dd[dd - 1], hints_ref[0, dd, w], x)
+                h1_hwords.append(x)
+            h1_h = []
+            for i in range(18):
+                hw = h1_hwords[i // 2]
+                h1_h.append((hw >> 16) & 0xFFFF if i % 2 == 0
+                            else hw & 0xFFFF)
+            h1_clip = [jnp.clip(h1_h[i], 0, nw * 4 - 1) for i in range(17)]
+            h1_wps = [c >> 2 for c in h1_clip]
+            h1_hrs = [c & 3 for c in h1_clip]
+            h1_hi = [min(nw, (10 + 35 * i + 8) // 4 + 2) for i in range(17)]
+            h1_wide = (0, 1, 16)
+            # chunked partial accumulators: one accumulator per item
+            # would serialize ~147 dependent adds (fetch_hint's jnp.sum
+            # is a tree reduce); short independent chains instead
+            H1_CH = 37
+            h1_rows = min(nw, max(h1_hi) + 1)
+            h1_nch = -(-h1_rows // H1_CH)
+            h1_w1p = [[zero] * h1_nch for _ in range(17)]
+            h1_w2p = {i: [zero] * h1_nch for i in h1_wide}
         for p in range(nw):
             w = words_ref[0, 0, p]
             for dd in range(1, d):
                 w = jnp.where(is_dd[dd - 1], words_ref[0, dd, p], w)
             cur_ref[p] = w
+            if mode == "hinted1" and p < h1_rows:
+                c = p // H1_CH
+                for i in range(17):
+                    if p < h1_hi[i]:
+                        h1_w1p[i][c] = (h1_w1p[i][c]
+                                        + jnp.where(h1_wps[i] == p, w, 0))
+                    if i in h1_wide and 1 <= p <= h1_hi[i]:
+                        h1_w2p[i][c] = (h1_w2p[i][c]
+                                        + jnp.where(h1_wps[i] == p - 1, w, 0))
         blen = nlen_ref[0, 0]
         for dd in range(1, d):
             blen = jnp.where(is_dd[dd - 1], nlen_ref[0, dd], blen)
@@ -269,16 +323,20 @@ def _walk_kernel(d: int, nw: int, kn: int, max_steps: int, mode: str,
             # bit-identical to ops/mpt.walk_batch on every input.
             ovf = ovf | _i32(live0 & (off != 0))
             # per-node hint words, selected like blen (9 x u16-pair words)
-            hwords = []
-            for w in range(9):
-                x = hints_ref[0, 0, w]
-                for dd in range(1, d):
-                    x = jnp.where(is_dd[dd - 1], hints_ref[0, dd, w], x)
-                hwords.append(x)
-            h = []
-            for i in range(18):
-                w = hwords[i // 2]
-                h.append((w >> 16) & 0xFFFF if i % 2 == 0 else w & 0xFFFF)
+            if mode == "hinted1":
+                h = h1_h  # selected in the fused materialization pass
+            else:
+                hwords = []
+                for w in range(9):
+                    x = hints_ref[0, 0, w]
+                    for dd in range(1, d):
+                        x = jnp.where(is_dd[dd - 1], hints_ref[0, dd, w], x)
+                    hwords.append(x)
+                h = []
+                for i in range(18):
+                    w = hwords[i // 2]
+                    h.append((w >> 16) & 0xFFFF if i % 2 == 0
+                             else w & 0xFFFF)
 
             # node header: off == 0 on the fast path, so it is bytes 0..3
             # of word row 0 — a STATIC fetch (lanes with off != 0 are
@@ -288,7 +346,8 @@ def _walk_kernel(d: int, nw: int, kn: int, max_steps: int, mode: str,
             ps = po
             end = ps + plen
 
-            curs1 = jnp.concatenate([cur[1:], zero_row], axis=0)
+            curs1 = (None if mode == "hinted1"
+                     else jnp.concatenate([cur[1:], zero_row], axis=0))
 
             def fetch_hint(pos, hi_rows: int):
                 pc = jnp.clip(pos, 0, nw * 4 - 1)
@@ -317,6 +376,43 @@ def _walk_kernel(d: int, nw: int, kn: int, max_steps: int, mode: str,
                     b = jnp.where(r == s, (w1 >> (24 - 8 * s)) & 255, b)
                 return b
 
+            if mode == "hinted1":
+                # Single-pass union-window fetch, accumulated inside the
+                # materialization loop above. fetch_hint reads cur[:hi]
+                # AND curs1[:hi] per item — ~1.3k overlapping row reads
+                # per step per tile across the 17 windows; the fused pass
+                # reads each row ZERO extra times; per item i it fed
+                #   w1[i] += (wp_i == p) ? row : 0        (= cur[wp_i])
+                # and, for the wide items (0, 1, 16 need a 4-byte
+                # header spanning a word boundary),
+                #   w2[i] += (wp_i == p-1) ? row : 0      (= cur[wp_i+1])
+                # — bit-identical decode inputs to 'hinted' (rows past
+                # an item's live window accumulate nothing; lanes whose
+                # hint exceeds the window bound are latched by the ovf
+                # check below exactly as in 'hinted').
+                def _tree(parts):
+                    while len(parts) > 1:
+                        parts = ([parts[j] + parts[j + 1]
+                                  for j in range(0, len(parts) - 1, 2)]
+                                 + ([parts[-1]] if len(parts) % 2 else []))
+                    return parts[0]
+
+                w1 = [_tree(h1_w1p[i]) for i in range(17)]
+                w2 = {i: _tree(h1_w2p[i]) for i in h1_wide}
+                ib1, b01 = {}, {}
+                for i in range(17):
+                    if i in h1_wide:
+                        b8 = (list(_bytes_of_word(w1[i]))
+                              + list(_bytes_of_word(w2[i])))
+                        ib1[i] = _align4(h1_hrs[i], b8)
+                    else:
+                        wv = w1[i]
+                        bb = (wv >> 24) & 255
+                        for s in (1, 2, 3):
+                            bb = jnp.where(h1_hrs[i] == s,
+                                           (wv >> (24 - 8 * s)) & 255, bb)
+                        b01[i] = bb
+
             sel = {
                 "i0_pay": zero, "i0_len": zero, "i0_list": zero,
                 "i1_start": zero, "i1_pay": zero, "i1_len": zero,
@@ -342,7 +438,8 @@ def _walk_kernel(d: int, nw: int, kn: int, max_steps: int, mode: str,
                     # alignment cascade). A long-form item here (crafted
                     # node) latches ovf -> exact re-run, like every other
                     # hinted-mode escape hatch.
-                    b0 = fetch_hint_b0(hi_i, (10 + 35 * i + 8) // 4 + 2)
+                    b0 = (b01[i] if mode == "hinted1" else
+                          fetch_hint_b0(hi_i, (10 + 35 * i + 8) // 4 + 2))
                     single = b0 < 0x80
                     short_str = (b0 >= 0x80) & (b0 <= 0xB7)
                     short_list = (b0 >= 0xC0) & (b0 <= 0xF7)
@@ -355,7 +452,8 @@ def _walk_kernel(d: int, nw: int, kn: int, max_steps: int, mode: str,
                     ilist = _i32(b0 >= 0xC0)
                     ok = ~longf
                 else:
-                    ib = fetch_hint(hi_i, (10 + 35 * i + 8) // 4 + 2)
+                    ib = (ib1[i] if mode == "hinted1" else
+                          fetch_hint(hi_i, (10 + 35 * i + 8) // 4 + 2))
                     ipo, ipl, ilist, ok = _head_fields(ib)
                     ilist = _i32(ilist)
                 ips = hi_i + ipo
@@ -583,6 +681,14 @@ def _walk_kernel(d: int, nw: int, kn: int, max_steps: int, mode: str,
         new_vlen = jnp.where(
             found_now, jnp.where(leaf_found, sel["i1_len"], sel["i16_len"]),
             vlen)
+        if vw:
+            # capture the value window while the terminal node is resident
+            vws = jnp.where(leaf_found, sel["i1_pay"], sel["i16_pay"])
+            win = _dyn_window(cur, jnp.clip(vws, 0, nw * 4 - 1) >> 2, vw)
+            wrote = found_now & live0
+            for j in range(vw):
+                out_ref[0, 6 + j] = jnp.where(wrote, win[j],
+                                              out_ref[0, 6 + j])
         new_key_pos = jnp.where(take_child, key_pos + 1,
                                 jnp.where(ext_child, key_pos + n_path, key_pos))
         new_node_idx = jnp.where(child_hash, nxt, node_idx)
@@ -621,9 +727,9 @@ def _walk_kernel(d: int, nw: int, kn: int, max_steps: int, mode: str,
     out_ref[0, 5] = reasons   # first-failure-class code (mpt.REASON_NAMES)
 
 
-@functools.partial(jax.jit, static_argnames=("max_steps", "mode"))
+@functools.partial(jax.jit, static_argnames=("max_steps", "mode", "vw"))
 def _walk_lanes(words, nlens, nnum, dig, root, knib, klen, hints=None, *,
-                max_steps: int, mode: str = "bounded"):
+                max_steps: int, mode: str = "bounded", vw: int = 0):
     """words i32 [Bt, D, NW, S, 128]; nlens [Bt, D, S, 128];
     nnum/klen [Bt, S, 128]; dig [Bt, D, 8, S, 128]; root [Bt, 8, S, 128];
     knib [Bt, KN, S, 128]; hints [Bt, D, 9, S, 128] (mode='hinted' only).
@@ -633,12 +739,12 @@ def _walk_lanes(words, nlens, nnum, dig, root, knib, klen, hints=None, *,
     bt, d, nw = words.shape[0], words.shape[1], words.shape[2]
     kn = knib.shape[1]
     sub = words.shape[3]
-    kernel = functools.partial(_walk_kernel, d, nw, kn, max_steps, mode)
+    kernel = functools.partial(_walk_kernel, d, nw, kn, max_steps, mode, vw)
     tile = (sub, TILE_LANE)
     spec = lambda *lead: pl.BlockSpec(
         (1,) + lead + tile, lambda i: (i,) + (0,) * (len(lead) + 2),
         memory_space=pltpu.VMEM)
-    hinted = mode in ("hinted", "hinted4")
+    hinted = mode in ("hinted", "hinted4", "hinted1")
     args = (words, nlens, nnum, dig, root, knib, klen)
     if hinted:
         args = args + (hints,)
@@ -654,8 +760,8 @@ def _walk_lanes(words, nlens, nnum, dig, root, knib, klen, hints=None, *,
             spec(kn),      # knib
             spec(),        # klen
         ] + ([spec(d, 9)] if hinted else []),
-        out_specs=spec(6),
-        out_shape=jax.ShapeDtypeStruct((bt, 6) + tile, jnp.int32),
+        out_specs=spec(6 + vw),
+        out_shape=jax.ShapeDtypeStruct((bt, 6 + vw) + tile, jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((nw,) + tile, jnp.int32),  # cur
         ] + ([] if mode != "exact" else [
@@ -681,7 +787,8 @@ def _lanes(a, bt, sub=TILE_SUB):
     return a.transpose(order)
 
 
-def _pick_tile_sub(d: int, nw: int, kn: int, hinted: bool = False) -> int:
+def _pick_tile_sub(d: int, nw: int, kn: int, hinted: bool = False,
+                   vw: int = 0) -> int:
     """Largest sublane depth whose kernel instance fits Mosaic's 16 MB
     scoped-VMEM budget. The dominant allocations scale with the tile-row
     count: double-buffered word inputs (2*d*nw), the cur scratch (nw),
@@ -692,6 +799,8 @@ def _pick_tile_sub(d: int, nw: int, kn: int, hinted: bool = False) -> int:
     tx/receipt geometry (~2 KB nodes) runs at sub=4, trading per-instance
     width for twice the grid steps."""
     rows = 2 * d * nw + nw + 2 * min(nw, 147) + 2 * (8 * d + kn)
+    rows += 2 * vw  # value-window output rows (the base 6-row output
+    #                 block is inside the 3600-row calibration)
     if hinted:
         rows += 2 * d * 9  # double-buffered hint words (the sh/shs term
         #                    above covers the hinted temps: curs1 + the
@@ -706,7 +815,8 @@ def walk_batch_pallas(nodes, node_lens, num_nodes, digests, roots,
                       key_nibbles, key_lens, max_value_len: int,
                       max_steps: int | None = None,
                       with_reasons: bool = False, hints=None,
-                      with_overflow: bool = False):
+                      with_overflow: bool = False,
+                      hint_mode: str | None = None):
     """Drop-in for mpt.walk_batch on TPU. Returns (status, values,
     value_lens); with_reasons=True appends the per-proof INVALID reason
     channel (mpt.REASON_NAMES) — carried through the kernel's 6th output
@@ -726,7 +836,11 @@ def walk_batch_pallas(nodes, node_lens, num_nodes, digests, roots,
     kn = key_nibbles.shape[1]
     if max_steps is None:
         max_steps = d + 6
-    sub = _pick_tile_sub(d, nodes.shape[2] // 4, kn, hinted=hints is not None)
+    vw0 = max_value_len // 4 + 2 if max_value_len <= 128 else 0
+    if _os.environ.get("ZKP_WALK_NO_VW"):  # A/B: force the XLA extraction
+        vw0 = 0
+    sub = _pick_tile_sub(d, nodes.shape[2] // 4, kn,
+                         hinted=hints is not None, vw=vw0)
     tile = sub * TILE_LANE
     bp = -(-b // tile) * tile
     if bp != b:
@@ -750,12 +864,22 @@ def walk_batch_pallas(nodes, node_lens, num_nodes, digests, roots,
         _lanes(key_nibbles.astype(jnp.int32), bt, sub),
         _lanes(key_lens.astype(jnp.int32), bt, sub),
     )
+    # value window captured in-kernel for small value buckets (account/
+    # storage flows): the terminal node is already VMEM-resident at the
+    # FOUND transition, so the window costs one cascade instead of an XLA
+    # post-stage over HBM rows (~0.11 ms/4096). Wide buckets (tx/receipt
+    # values) keep the XLA shift-cascade extraction (vw rows would blow
+    # the output block).
+    vw = vw0
     if hints is not None:
-        hmode = "hinted4" if _os.environ.get("ZKP_WALK_HINT4") else "hinted"
+        hmode = hint_mode or _os.environ.get("ZKP_WALK_HINT_MODE", "hinted")
+        if _os.environ.get("ZKP_WALK_HINT4"):
+            hmode = "hinted4"
         fast = _walk_lanes(*lanes_in, _lanes(_to_words(hints), bt, sub),
-                           max_steps=max_steps, mode=hmode)
+                           max_steps=max_steps, mode=hmode, vw=vw)
     else:
-        fast = _walk_lanes(*lanes_in, max_steps=max_steps, mode="bounded")
+        fast = _walk_lanes(*lanes_in, max_steps=max_steps, mode="bounded",
+                           vw=vw)
     # Fast-path overflow (bounded mode: crafted nodes whose well-formed
     # RLP items exceed the branch/pair size bounds; hinted mode: also
     # hint-chain mismatches and inline-child steps): re-run the batch
@@ -764,20 +888,40 @@ def walk_batch_pallas(nodes, node_lens, num_nodes, digests, roots,
     any_ovf = jnp.any(fast[:, 4] > 0)
     out = jax.lax.cond(
         any_ovf,
-        lambda: _walk_lanes(*lanes_in, max_steps=max_steps, mode="exact"),
+        lambda: _walk_lanes(*lanes_in, max_steps=max_steps, mode="exact",
+                            vw=vw),
         lambda: fast,
-    )  # [Bt, 6, 8, 128]
-    out = out.transpose(0, 2, 3, 1).reshape(bp, 6)[:b]
+    )  # [Bt, 6 + vw, 8, 128]
+    out = out.transpose(0, 2, 3, 1).reshape(bp, 6 + vw)[:b]
     status, vnode, vstart, vlen = out[:, 0], out[:, 1], out[:, 2], out[:, 3]
-    carry = (vnode, jnp.zeros_like(vnode), jnp.zeros_like(vnode), status,
-             vnode, vstart, vlen, jnp.zeros_like(status))
-    result = mpt_ref._extract_value(nodes[:b, :, :n], carry, max_value_len)
+    if vw:
+        # byte-align the in-kernel word window (big-endian words; same
+        # math as mpt._extract_value's alignment — bit-identical output)
+        win = out[:, 6:]
+        by = jnp.stack([(win >> 24) & 255, (win >> 16) & 255,
+                        (win >> 8) & 255, win & 255],
+                       axis=-1).reshape(b, 4 * vw)
+        vc = jnp.clip(vstart, 0, nodes.shape[2] - 1)
+        r = vc & 3
+        val = by[:, 0:max_value_len]
+        for s in (1, 2, 3):
+            val = jnp.where((r == s)[:, None], by[:, s:s + max_value_len],
+                            val)
+        value = jnp.where(
+            jnp.arange(max_value_len)[None, :] < vlen[:, None], val, 0)
+        result = (status, value.astype(jnp.uint8),
+                  jnp.where(status == mpt_ref.FOUND, vlen, 0))
+    else:
+        carry = (vnode, jnp.zeros_like(vnode), jnp.zeros_like(vnode), status,
+                 vnode, vstart, vlen, jnp.zeros_like(status))
+        result = mpt_ref._extract_value(nodes[:b, :, :n], carry,
+                                        max_value_len)
     if with_reasons:
         result = result + (out[:, 5],)
     if with_overflow:
         # per-proof FAST-path overflow latch (pre-fallback): nonzero rows
         # deferred to the exact kernel — a serving/bench diagnostic for
         # how often the hinted/bounded fast path actually served
-        fast_ovf = fast.transpose(0, 2, 3, 1).reshape(bp, 6)[:b, 4]
+        fast_ovf = fast.transpose(0, 2, 3, 1).reshape(bp, 6 + vw)[:b, 4]
         result = result + (fast_ovf,)
     return result

@@ -36,9 +36,19 @@ REPS = int(os.environ.get("ZKP_AB_REPS", "6"))
 
 
 def make_step(packed, args, pargs, ph, mode):
+    # "seg" = depth-bucketed walk dispatch (kernel hint mode stays the
+    # default); "seg:<m>" combines segments with hint mode <m>
+    kw = {}
+    if mode == "seg" or mode.startswith("seg:"):
+        kw["depth_segments"] = packed.depth_segments()
+        kw["hint_mode"] = mode[4:] or None if mode.startswith("seg:") else None
+        print(f"[{mode}] segments: {kw['depth_segments']}",
+              file=sys.stderr, flush=True)
+    else:
+        kw["hint_mode"] = mode
     fn = functools.partial(mpt.verify_proofs_pooled, max_value_len=128,
                            max_steps=packed.nodes.shape[1],
-                           conditional=False, hint_mode=mode)
+                           conditional=False, **kw)
 
     @jax.jit
     def step(nodes, pool_nodes, ctr):

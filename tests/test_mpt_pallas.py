@@ -403,6 +403,50 @@ def test_hash_nodes_pooled_with_hints_scatter():
     np.testing.assert_array_equal(np.asarray(hints)[real], direct[real])
 
 
+def test_pallas_depth_segmented_dispatch_parity():
+    """The depth-bucketed walk dispatch (one kernel call per contiguous
+    depth segment, node axis sliced to the segment's d) must classify and
+    extract bit-identically to the unsegmented kernel and the XLA walker,
+    on a mixed-depth depth-sorted batch including failures."""
+    from zk_state_proofs_tpu.ops.mpt_pallas import (
+        walk_batch_pallas_segmented)
+
+    t = EthTrie()
+    keys = []
+    for i in range(96):
+        k = keccak256(b"seg-%d" % i)
+        t.insert(k, b"\x09" + bytes([i]) * 40)
+        keys.append(k)
+    root = t.root_hash()
+    entries = [(root, t.get_proof(k), k) for k in keys[:24]]
+    absent = keccak256(b"seg-absent")
+    entries.append((root, t.get_proof(absent), absent))          # EXCLUDED
+    entries.append((b"\x31" * 32, t.get_proof(keys[1]), keys[1]))  # root miss
+    entries.sort(key=lambda e: -len(e[1]))  # the bench/serving batch order
+    packed = pack_proofs(entries)
+
+    args = [jnp.asarray(a) for a in packed.astuple()]
+    dig = mpt.hash_nodes(args[0], args[1])
+    s1, v1, l1, _ = mpt.walk_batch(*args[:3], dig, *args[3:], 128)
+
+    segs = packed.depth_segments(tile=8)  # small tile -> >1 segment here
+    assert len(segs) >= 2
+    assert sum(c for c, _ in segs) == packed.batch
+    # segment d bounds every num_nodes inside it
+    off = 0
+    for cnt, dseg in segs:
+        assert int(packed.num_nodes[off:off + cnt].max()) <= dseg
+        off += cnt
+
+    for hints in (None, _hints_for(packed)):
+        s2, v2, l2 = walk_batch_pallas_segmented(
+            segs, *args[:3], dig, *args[3:], 128,
+            max_steps=packed.nodes.shape[1], hints=hints)
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
 def test_pallas_bounded_decode_overflow_fallback():
     """Crafted well-formed-RLP nodes whose items exceed the branch/pair
     size bounds (e.g. a 2-item list with a 100-byte first item) trip the

@@ -73,3 +73,47 @@ def test_service_sharded_matches_unsharded():
     np.testing.assert_array_equal(r1.status, r2.status)
     np.testing.assert_array_equal(r1.values, r2.values)
     np.testing.assert_array_equal(r1.value_lens, r2.value_lens)
+
+
+def test_service_pinned_depth_segments_restore_request_order():
+    """A pinned depth-segment schedule depth-sorts each request at pack
+    time; results must come back in REQUEST order, bit-identical to the
+    unsegmented service. Batches that do not fit the schedule must fall
+    back to the unsegmented path (correctness, not an error)."""
+    t, keys = _trie(96, tag=b"svcseg")
+    root = t.root_hash()
+    entries = [(root, t.get_proof(k), k) for k in keys[:30]]
+    absent = keccak256(b"svcseg-nope")
+    entries.append((root, t.get_proof(absent), absent))
+    # interleave depths: reverse-sort then shuffle deterministically
+    import random
+
+    random.Random(7).shuffle(entries)
+
+    plain = BatchVerifier(BucketConfig.account(), batch_size=32)
+    r1 = plain.verify(entries)
+
+    # schedule from this batch's own (sorted) mix, at a small tile
+    probe = plain.pack(sorted(entries, key=lambda e: -len(e[1])))
+    segs = tuple()
+    off = 0
+    nn = probe.num_nodes
+    for o in range(0, len(nn), 8):
+        c = min(8, len(nn) - o)
+        segs += ((c, max(int(nn[o:o + c].max()), 1)),)
+    svc = BatchVerifier(BucketConfig.account(), batch_size=32,
+                        depth_segments=segs)
+    assert svc._compatible_segments(probe) == segs
+    r2 = svc.verify(entries)
+    np.testing.assert_array_equal(r1.status, r2.status)
+    np.testing.assert_array_equal(r1.values, r2.values)
+    np.testing.assert_array_equal(r1.value_lens, r2.value_lens)
+
+    # schedule that cannot fit (d=1 everywhere) -> unsegmented fallback,
+    # same results
+    bad = BatchVerifier(BucketConfig.account(), batch_size=32,
+                        depth_segments=((32, 1),))
+    assert bad._compatible_segments(probe) is None
+    r3 = bad.verify(entries)
+    np.testing.assert_array_equal(r1.status, r3.status)
+    np.testing.assert_array_equal(r1.values, r3.values)

@@ -56,15 +56,26 @@ class BatchVerifier:
     dedup:     hash each batch's unique-node pool once (default).
     mesh:      optional 1-D device mesh — batches are dp-sharded with
                psum'ed stats (parallel.mesh.make_sharded_verifier).
+    depth_segments: optional PINNED depth-bucketed walk schedule
+               ((count, d), ...; see PackedProofs.depth_segments) for
+               the dedup single-device path. Requests are depth-sorted
+               at pack time (results restored to request order) and a
+               host check routes each batch through the segmented
+               executable only when every segment's proofs fit its d —
+               incompatible batches use the unsegmented executable, so a
+               schedule miss costs speed, never correctness. A/B at the
+               4096-distinct-account shape: 1.20 -> 1.06 ms/batch.
     """
 
     def __init__(self, bucket: BucketConfig, batch_size: int = 4096,
-                 dedup: bool = True, pool_rows: int = 0, mesh=None):
+                 dedup: bool = True, pool_rows: int = 0, mesh=None,
+                 depth_segments: tuple | None = None):
         self.bucket = bucket
         self.batch_size = int(batch_size)
         self.dedup = dedup
         self.pool_rows = int(pool_rows)
         self.mesh = mesh
+        self.depth_segments = depth_segments
         self.stats = ServiceStats()
         self._warm = False
 
@@ -132,10 +143,28 @@ class BatchVerifier:
             # pack-time offset hints: ~free on the host, and the fused
             # kernel decodes without its serial header chain (falls back
             # to the exact kernel on any mismatch — speed, not soundness)
+            segs = self._compatible_segments(packed)
             return mpt.verify_proofs_pooled(
                 *packed.astuple(), *packed.pool(),
-                packed.pool_hints(), max_value_len=mvl)
+                packed.pool_hints(), max_value_len=mvl,
+                depth_segments=segs)
         return mpt.verify_proofs(*packed.astuple(), max_value_len=mvl)
+
+    def _compatible_segments(self, packed: PackedProofs):
+        """The pinned segment schedule iff this (depth-sorted) batch fits
+        it — every segment's max num_nodes <= its d; else None (the
+        unsegmented executable)."""
+        if self.depth_segments is None:
+            return None
+        if sum(c for c, _ in self.depth_segments) != packed.batch:
+            return None
+        off = 0
+        for cnt, dseg in self.depth_segments:
+            seg = packed.num_nodes[off:off + cnt]
+            if len(seg) and int(seg.max()) > dseg:
+                return None
+            off += cnt
+        return self.depth_segments
 
     def verify(self, entries) -> VerifyResult:
         """Pack + verify one request batch; returns per-proof results
@@ -146,13 +175,24 @@ class BatchVerifier:
         if not self._warm:
             self.warmup()
         t0 = time.time()
+        n = len(entries)
+        order = None
+        if self.depth_segments is not None and self.dedup and self.mesh is None:
+            # depth-sort for the pinned segment schedule; results are
+            # restored to request order below (padding rows, appended by
+            # pack(), carry zero nodes and land after every real entry)
+            order = sorted(range(n), key=lambda i: -len(entries[i][1]))
+            entries = [entries[i] for i in order]
         packed = self.pack(entries)
         status, values, vlens = self._verify_packed(packed)
-        n = len(entries)
-        res = VerifyResult(
-            np.asarray(status)[:n], np.asarray(values)[:n],
-            np.asarray(vlens)[:n],
-        )
+        status, values, vlens = (np.asarray(status)[:n],
+                                 np.asarray(values)[:n],
+                                 np.asarray(vlens)[:n])
+        if order is not None:
+            inv = np.empty(n, dtype=np.int64)
+            inv[np.asarray(order)] = np.arange(n)
+            status, values, vlens = status[inv], values[inv], vlens[inv]
+        res = VerifyResult(status, values, vlens)
         dt = time.time() - t0
         c = res.counts()
         s = self.stats

@@ -440,13 +440,15 @@ def hash_nodes_pooled(pool_nodes, pool_lens, pool_idx, with_hints=False,
 
 @functools.partial(jax.jit,
                    static_argnames=("max_value_len", "max_steps",
-                                    "conditional", "hinted", "hint_mode"))
+                                    "conditional", "hinted", "hint_mode",
+                                    "depth_segments"))
 def verify_proofs_pooled(nodes, node_lens, num_nodes, roots, key_nibbles,
                          key_lens, pool_nodes, pool_lens, pool_idx,
                          pool_hints=None,
                          max_value_len: int = 128, max_steps: int | None = None,
                          conditional: bool = True, hinted: bool = True,
-                         hint_mode: str | None = None):
+                         hint_mode: str | None = None,
+                         depth_segments: tuple | None = None):
     """`verify_proofs` with deduplicated hashing (see hash_nodes_pooled).
     The pool is produced by witness packing (PackedProofs.pool()).
 
@@ -457,7 +459,16 @@ def verify_proofs_pooled(nodes, node_lens, num_nodes, roots, key_nibbles,
     pack-time host scan instead of the device hint pass. Pass
     hinted=False for workloads dominated by inline-child steps (storage
     tries with short values), where the hinted fast path would always
-    defer to the exact re-run and cost an extra kernel."""
+    defer to the exact re-run and cost an extra kernel.
+
+    depth_segments (TPU): static ((count, d), ...) covering the batch in
+    order (PackedProofs.depth_segments()) — the walk dispatches one
+    kernel call per contiguous depth segment, slicing the node axis to
+    that segment's d. On depth-sorted batches the shallow segments skip
+    the deep tiles' per-step d-way node materialization and input
+    streaming (the measured walk-time floor). Hashing/scatter stay
+    shared; classification is unchanged (each proof still walks its own
+    num_nodes; segment d >= every num_nodes inside it by construction)."""
     if jax.default_backend() == "tpu":
         from .mpt_pallas import walk_batch_pallas
 
@@ -468,6 +479,13 @@ def verify_proofs_pooled(nodes, node_lens, num_nodes, roots, key_nibbles,
         else:
             digests = hash_nodes_pooled(pool_nodes, pool_lens, pool_idx)
             hints = None
+        if depth_segments is not None:
+            from .mpt_pallas import walk_batch_pallas_segmented
+
+            return walk_batch_pallas_segmented(
+                depth_segments, nodes, node_lens, num_nodes, digests, roots,
+                key_nibbles, key_lens, max_value_len, max_steps,
+                hints=hints, hint_mode=hint_mode)
         return walk_batch_pallas(nodes, node_lens, num_nodes, digests, roots,
                                  key_nibbles, key_lens, max_value_len,
                                  max_steps, hints=hints, hint_mode=hint_mode)

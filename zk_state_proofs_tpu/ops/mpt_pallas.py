@@ -925,3 +925,40 @@ def walk_batch_pallas(nodes, node_lens, num_nodes, digests, roots,
         fast_ovf = fast.transpose(0, 2, 3, 1).reshape(bp, 6 + vw)[:b, 4]
         result = result + (fast_ovf,)
     return result
+
+
+def walk_batch_pallas_segmented(depth_segments, nodes, node_lens, num_nodes,
+                                digests, roots, key_nibbles, key_lens,
+                                max_value_len: int,
+                                max_steps: int | None = None,
+                                hints=None, hint_mode: str | None = None):
+    """Depth-bucketed walk dispatch: one walk_batch_pallas call per
+    contiguous depth segment ((count, d), ...) covering the batch in
+    order (PackedProofs.depth_segments()).
+
+    The fused kernel's measured per-step floor at account shape is node
+    materialization + input streaming, both O(d) per word row (op-count
+    and fetch-traffic cuts are dead flat — see the hinted1 A/Bs); on a
+    depth-sorted batch the shallow segments (~93% of a 4096-distinct-
+    account batch is depth <= 5 under a depth-7 bucket) walk with their
+    own smaller static node axis instead of paying the deepest proof's.
+
+    Classification is bit-identical to the unsegmented call: each proof
+    still walks its own num_nodes (segment d bounds every num_nodes in
+    the segment by construction), max_steps passes through unchanged
+    (truncation parity), and surplus steps on shallow segments are ~free
+    via the whole-tile early exit."""
+    outs, off = [], 0
+    for cnt, dseg in depth_segments:
+        sl = slice(off, off + cnt)
+        outs.append(walk_batch_pallas(
+            nodes[sl, :dseg], node_lens[sl, :dseg], num_nodes[sl],
+            digests[sl, :dseg], roots[sl], key_nibbles[sl],
+            key_lens[sl], max_value_len, max_steps,
+            hints=None if hints is None else hints[sl, :dseg],
+            hint_mode=hint_mode))
+        off += cnt
+    if off != nodes.shape[0]:
+        raise ValueError(
+            f"depth_segments cover {off} rows, batch has {nodes.shape[0]}")
+    return tuple(jnp.concatenate(parts) for parts in zip(*outs))

@@ -99,6 +99,30 @@ class PackedProofs:
             self._pool_hints = host_item_offsets(pool_nodes)
         return self._pool_hints
 
+    def depth_segments(self, tile: int = 1024) -> tuple:
+        """Static contiguous depth segments ((count, d), ...) at kernel-tile
+        granularity, for the depth-bucketed walk dispatch
+        (ops.mpt.verify_proofs_pooled(depth_segments=...)).
+
+        Each tile's d is the max num_nodes within it; adjacent equal-d
+        tiles merge. On a depth-sorted batch (descending — the bench/
+        serving batch-formation order) segments are depth-homogeneous, so
+        shallow tiles walk with a smaller static node axis: the fused
+        kernel's per-step node materialization and double-buffered input
+        streaming both scale with d, and measured A/Bs show that term —
+        not decode ops or fetch traffic — sets the walk's pace. Works
+        (correctly, just with less win) on unsorted batches too."""
+        nn = self.num_nodes
+        segs: list[tuple[int, int]] = []
+        for off in range(0, len(nn), tile):
+            cnt = min(tile, len(nn) - off)
+            d = max(int(nn[off:off + cnt].max()), 1)
+            if segs and segs[-1][1] == d:
+                segs[-1] = (segs[-1][0] + cnt, d)
+            else:
+                segs.append((cnt, d))
+        return tuple(segs)
+
     # -- disk cache (the framework's checkpoint/resume analog: packed
     # witness tensors persist so sweeps resume without re-fetching/packing,
     # SURVEY.md §5 checkpoint/resume) --

@@ -146,8 +146,11 @@ def bench_verify(batch=4096, iters=20, n_accounts=None, label="distinct"):
             # measured step must include value extraction (the reference's
             # verify RETURNS the value, crypto-ops/src/lib.rs:20-22) — an
             # unused `v` would be dead-code-eliminated by XLA and the
-            # "full pipeline" rate would silently exclude extraction
-            accv = accv ^ v[:, 0].astype(jnp.int32) ^ (l << 8)
+            # "full pipeline" rate would silently exclude extraction.
+            # EVERY column is folded (sum over axis 1): a single-column
+            # fold would let XLA slice-push-down prune the rest of the
+            # byte-alignment cascade
+            accv = accv ^ jnp.sum(v.astype(jnp.int32), axis=1) ^ (l << 8)
             return ctr, acc + s, accv
         ctr, acc, accv = jax.lax.fori_loop(
             0, K_INNER, body,

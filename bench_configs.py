@@ -104,34 +104,57 @@ def _tx_geometry_batch(quick):
     pargs = [jnp.asarray(a) for a in packed.pool()]
     d = packed.nodes.shape[1]
 
+    # FULL-WIDTH value extraction: the reference's verify returns the
+    # WHOLE leaf value (crypto-ops/src/lib.rs:20-22) — for a tx leaf
+    # that is the ~2 KB encoded transaction, extracted through the XLA
+    # word shift-cascade path (mpt._word_shift_window; the in-kernel vw
+    # capture only covers max_value_len <= 128). r4's 758k proofs/s tx
+    # figure capped max_value_len=128 AND discarded values; this is the
+    # honest end-to-end rate.
+    from zk_state_proofs_tpu.witness.encoding import encode_transaction
+
+    maxv = max(len(encode_transaction(tx)) for tx in txs)
+    mvl = -(-maxv // 128) * 128
+
     import functools
 
-    fn = functools.partial(mpt.verify_proofs_pooled, max_value_len=128,
+    fn = functools.partial(mpt.verify_proofs_pooled, max_value_len=mvl,
                            max_steps=d + 2)
-    status = np.asarray(fn(*args, *pargs)[0])
+    status, v0, l0 = fn(*args, *pargs)
+    status = np.asarray(status)
     ok = bool((status == mpt.FOUND).all())
+    # spot-check the wide extraction end-to-end: row 0's value is its tx
+    i0 = 0
+    enc0 = encode_transaction(txs[0 % len(inputs)])
+    ok = ok and bytes(np.asarray(v0)[i0, :int(np.asarray(l0)[i0])]) == enc0
 
     K = 8
 
     @jax.jit
     def step(ctr):
         def body(_, carry):
-            ctr, acc = carry
+            ctr, acc, accv = carry
             ctr = ctr + 1
             pn = args[0].at[:, :, -1].set(ctr.astype(jnp.uint8))
             pp = pargs[0].at[:, -1].set(ctr.astype(jnp.uint8))
-            s, _, _ = fn(pn, *args[1:], pp, *pargs[1:])
-            return ctr, acc + s
+            s, v, l = fn(pn, *args[1:], pp, *pargs[1:])
+            # consume EVERY output the rate claims to measure: an unused
+            # value tensor is dead-code-eliminated by XLA and the rate
+            # would silently exclude the extraction stage (the repo's
+            # extraction-honesty rule, CLAUDE.md r4)
+            accv = accv ^ jnp.sum(v.astype(jnp.int32), axis=1) ^ (l << 8)
+            return ctr, acc + s, accv
         return jax.lax.fori_loop(
-            0, K, body, (ctr, jnp.zeros((total,), jnp.int32)))
+            0, K, body, (ctr, jnp.zeros((total,), jnp.int32),
+                         jnp.zeros((total,), jnp.int32)))
 
-    ctr, acc = step(jnp.asarray(np.int32(secrets.randbelow(1 << 20))))
-    jax.block_until_ready(acc)
+    ctr, acc, accv = step(jnp.asarray(np.int32(secrets.randbelow(1 << 20))))
+    jax.block_until_ready((acc, accv))
     best = float("inf")
     for _ in range(3):
         t0 = time.time()
-        ctr, acc = step(ctr)
-        jax.block_until_ready(acc)
+        ctr, acc, accv = step(ctr)
+        np.asarray(acc), np.asarray(accv)  # forced host read (relay-safe)
         best = min(best, (time.time() - t0) / K)
     ok = ok and bool((np.asarray(acc) == K * mpt.FOUND).all())
     return {
@@ -139,6 +162,7 @@ def _tx_geometry_batch(quick):
         "tx_geometry_batch": total,
         "tx_geometry_node_len": node_len,
         "tx_geometry_depth": d,
+        "tx_geometry_max_value_len": mvl,
         "tx_geometry_proofs_per_sec": round(total / best, 1),
         "tx_geometry_ms_per_batch": round(best * 1e3, 3),
         "tx_geometry_backend": jax.default_backend(),
@@ -171,8 +195,150 @@ def config2_account_storage(quick):
     values = run_storage_circuit(inp.to_borsh())
     dt = time.time() - t0
     ok = values == [val]
-    _emit("account_storage_proof", ok=ok, seconds=round(dt, 3))
+    extras = {}
+    try:
+        extras = _grouped_storage_batch(quick)
+        ok = ok and extras.pop("_ok")
+    except Exception as e:
+        print(f"grouped-storage batch failed: {e!r}", file=sys.stderr)
+        ok = False
+    _emit("account_storage_proof", ok=ok, seconds=round(dt, 3), **extras)
     return ok
+
+
+def _grouped_storage_batch(quick):
+    """Batch-scale device throughput for the TWO-LEVEL grouped storage
+    flow (VERDICT r4 missing #4): A unique accounts x S slots/account
+    through the reference's most complex circuit shape
+    (storage-circuit/src/main.rs:6-31 — account verified once, slots
+    verified against its decoded storage_root, slot keys hashed
+    in-graph). In-graph iterations with perturbed padding, slot VALUES
+    and account fields folded into live accumulators (extraction-honesty
+    rule). The slot level runs the UNHINTED kernel (inline short leaves
+    would defer the hinted path every batch), so this is that kernel's
+    first device number at storage shape."""
+    import secrets
+
+    import jax
+    import jax.numpy as jnp
+
+    from zk_state_proofs_tpu import native
+    from zk_state_proofs_tpu.models.verifier import _storage_core_grouped
+    from zk_state_proofs_tpu.ops import mpt
+    from zk_state_proofs_tpu.oracle import EthTrie, rlp
+    from zk_state_proofs_tpu.witness import pack_proofs
+
+    n_accounts = 64 if quick else 512
+    slots_per = 8
+    slots_in_trie = 64 if quick else 256  # realistic storage-trie depth
+    total_slots = n_accounts * slots_per
+
+    nk = native.keccak256
+    t0 = time.time()
+    world = EthTrie(hasher=nk)
+    sroots, slot_proof_sets, slot_keys = [], [], []
+    for a in range(n_accounts):
+        st = EthTrie(hasher=nk)
+        raw_slots = [a.to_bytes(16, "big") + i.to_bytes(16, "big")
+                     for i in range(slots_in_trie)]
+        for i, rs in enumerate(raw_slots):
+            st.insert(nk(rs), rlp.encode_int((a << 20) + i + 1))
+        sroots.append(st.root_hash())
+        chosen = raw_slots[::slots_in_trie // slots_per][:slots_per]
+        slot_keys.append(chosen)
+        slot_proof_sets.append([st.get_proof(nk(rs)) for rs in chosen])
+    addr_keys = [nk(b"gs-acct-%d" % a) for a in range(n_accounts)]
+    for a, k in enumerate(addr_keys):
+        world.insert(k, rlp.encode([
+            rlp.int_to_min_bytes(a + 1), rlp.int_to_min_bytes(10**18 + a),
+            sroots[a], nk(b"code%d" % a)]))
+    wroot = world.root_hash()
+    a_entries = [(wroot, world.get_proof(k), k) for k in addr_keys]
+    s_entries, slots_flat, slot_accounts = [], [], []
+    for a in range(n_accounts):
+        for j, rs in enumerate(slot_keys[a]):
+            # roots/keys are supplied on device by the grouped core;
+            # entry root/key here only size the pack
+            s_entries.append((sroots[a], slot_proof_sets[a][j], nk(rs)))
+            slots_flat.append(rs)
+            slot_accounts.append(a)
+    witness_s = time.time() - t0
+
+    a_node_len = max(len(n) for _, p, _ in a_entries for n in p)
+    s_node_len = max(len(n) for _, p, _ in s_entries for n in p)
+    ap = pack_proofs(a_entries, node_len=-(-(a_node_len + 4) // 4) * 4)
+    sp = pack_proofs(s_entries, node_len=-(-(s_node_len + 4) // 4) * 4)
+    # slots padded to 36 B: the hash is length-masked to 32, so the
+    # perturbation byte rides the padding (distinct dispatches, exact keys)
+    slots_np = np.zeros((total_slots, 36), np.uint8)
+    slots_np[:, :32] = np.frombuffer(
+        b"".join(slots_flat), np.uint8).reshape(total_slots, 32)
+
+    a_args = [jnp.asarray(x) for x in ap.astuple() + ap.pool()]
+    s_args = [jnp.asarray(x) for x in sp.astuple() + sp.pool()]
+    d_slots = jnp.asarray(slots_np)
+    d_sa = jnp.asarray(np.asarray(slot_accounts, np.int32))
+
+    def core(ctr):
+        pert = ctr.astype(jnp.uint8)
+        a_n = a_args[0].at[:, :, -1].set(pert)
+        a_pn = a_args[6].at[:, -1].set(pert)
+        s_n = s_args[0].at[:, :, -1].set(pert)
+        s_pn = s_args[6].at[:, -1].set(pert)
+        sl = d_slots.at[:, -1].set(pert)
+        return _storage_core_grouped(
+            a_n, *a_args[1:6], a_pn, *a_args[7:9],
+            s_n, *s_args[1:3], s_pn, *s_args[7:9], sl, d_sa)
+
+    a_st, acct, s_st, s_v, s_vl = core(jnp.asarray(np.int32(7)))
+    ok = bool((np.asarray(a_st) == mpt.FOUND).all())
+    ok = ok and bool((np.asarray(s_st) == mpt.FOUND).all())
+    # spot-check one slot value end-to-end
+    want = rlp.encode_int((0 << 20) + 0 + 1)
+    got = bytes(np.asarray(s_v)[0, :int(np.asarray(s_vl)[0])])
+    ok = ok and got == want
+
+    K = 8
+
+    @jax.jit
+    def step(ctr):
+        def body(_, carry):
+            ctr, acc_a, acc_s, accv = carry
+            ctr = ctr + 1
+            a_st, acct, s_st, s_v, s_vl = core(ctr)
+            accv = (accv ^ jnp.sum(s_v.astype(jnp.int32), axis=1)
+                    ^ (s_vl << 8))
+            # account-level outputs stay live too (storage_root feeds the
+            # slot walks already; fold balance/nonce so decode is whole)
+            acc_a = (acc_a + a_st
+                     + jnp.sum(acct["balance"].astype(jnp.int32), axis=1))
+            return ctr, acc_a, acc_s + s_st, accv
+        z = jnp.zeros((total_slots,), jnp.int32)
+        za = jnp.zeros((n_accounts,), jnp.int32)
+        return jax.lax.fori_loop(0, K, body, (ctr, za, z, z))
+
+    ctr, acc_a, acc_s, accv = step(
+        jnp.asarray(np.int32(secrets.randbelow(1 << 20))))
+    jax.block_until_ready((acc_s, accv))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        ctr, acc_a, acc_s, accv = step(ctr)
+        np.asarray(acc_s), np.asarray(accv)  # forced host read
+        best = min(best, (time.time() - t0) / K)
+    ok = ok and bool((np.asarray(acc_s) == K * mpt.FOUND).all())
+    return {
+        "_ok": ok,
+        "grouped_accounts": n_accounts,
+        "grouped_slots_per_account": slots_per,
+        "grouped_slot_proofs": total_slots,
+        "grouped_account_depth": int(ap.nodes.shape[1]),
+        "grouped_slot_depth": int(sp.nodes.shape[1]),
+        "grouped_witness_gen_seconds": round(witness_s, 2),
+        "grouped_slots_per_sec": round(total_slots / best, 1),
+        "grouped_ms_per_batch": round(best * 1e3, 3),
+        "grouped_backend": jax.default_backend(),
+    }
 
 
 def config3_receipt_trie(quick):
@@ -247,22 +413,28 @@ def config4_mixed_batch(quick):
     @jax.jit
     def step(ctr):
         def body(_, carry):
-            ctr, acc = carry
+            ctr, acc, accv = carry
             ctr = ctr + 1
             pn = jargs[0].at[:, :, -1].set(ctr.astype(jnp.uint8))
             pp = jpargs[0].at[:, -1].set(ctr.astype(jnp.uint8))
-            s, _, _ = mpt.verify_proofs_pooled(pn, *jargs[1:], pp, *jpargs[1:])
-            return ctr, acc + s
+            s, v, l = mpt.verify_proofs_pooled(pn, *jargs[1:], pp,
+                                               *jpargs[1:])
+            # extraction honesty (CLAUDE.md r4): fold values + lengths
+            # into a live accumulator so XLA cannot dead-code-eliminate
+            # the extraction stage from the measured loop
+            accv = accv ^ jnp.sum(v.astype(jnp.int32), axis=1) ^ (l << 8)
+            return ctr, acc + s, accv
         return jax.lax.fori_loop(
-            0, K, body, (ctr, jnp.zeros((total,), jnp.int32)))
+            0, K, body, (ctr, jnp.zeros((total,), jnp.int32),
+                         jnp.zeros((total,), jnp.int32)))
 
-    ctr, acc = step(jnp.asarray(np.int32(salt)))
-    jax.block_until_ready(acc)
+    ctr, acc, accv = step(jnp.asarray(np.int32(salt)))
+    jax.block_until_ready((acc, accv))
     t0 = time.time()
     reps = 4
     for _ in range(reps):
-        ctr, acc = step(ctr)
-    jax.block_until_ready(acc)
+        ctr, acc, accv = step(ctr)
+    np.asarray(acc), np.asarray(accv)  # forced host read (relay-safe)
     dt = (time.time() - t0) / (reps * K)
     ok = ok and (np.asarray(acc) == K * mpt.FOUND).all()
     _emit("mixed_batch_4096", ok=bool(ok), batch=total,

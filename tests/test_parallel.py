@@ -129,3 +129,52 @@ def test_sharded_resident_epoch_sweep_matches_dp1():
 
     with pytest.raises(ValueError):
         sweep_resident_epochs(packed, epochs=1, batch=33, mesh=mesh)
+
+
+def test_sharded_grouped_storage_matches_unsharded():
+    """dp-sharded grouped two-level storage (slots sharded, accounts +
+    pools replicated, psum'ed counts) must be bit-identical to
+    models.verify_storage_grouped, including a tampered account whose
+    slots all invalidate, and a slot count that doesn't divide the mesh
+    (padding rows stay out of the global counts)."""
+    from zk_state_proofs_tpu.models import verify_storage_grouped
+    from zk_state_proofs_tpu.parallel import verify_storage_grouped_sharded
+    from tests.test_storage_model import _build_world
+
+    world, accounts = _build_world(n_accounts=3, slots_per=6)
+    state_root = world.root_hash()
+    a_entries = []
+    for ai, (addr, st, sroot, slots, leaf) in enumerate(accounts):
+        proof = world.get_proof(keccak256(addr))
+        if ai == 2:  # tampered account -> its slots must all invalidate
+            proof = [bytes(p) for p in proof]
+            tb = bytearray(proof[-1])
+            tb[-1] ^= 1
+            proof[-1] = bytes(tb)
+        a_entries.append((state_root, proof, keccak256(addr)))
+    s_entries, slot_keys, slot_accounts = [], [], []
+    for ai, (addr, st, sroot, slots, leaf) in enumerate(accounts):
+        for slot in slots:
+            s_entries.append((sroot, st.get_proof(keccak256(slot)),
+                              keccak256(slot)))
+            slot_keys.append(slot)
+            slot_accounts.append(ai)
+    a_packed = pack_proofs(a_entries)
+    s_packed = pack_proofs(s_entries)
+    slots_arr = np.stack([np.frombuffer(s, np.uint8) for s in slot_keys])
+    sa = np.asarray(slot_accounts, np.int32)
+    assert len(s_entries) % 8 != 0  # 18 slots: exercises slot padding
+
+    ref = verify_storage_grouped(a_packed, s_packed, slots_arr, sa)
+    mesh = make_mesh()
+    a_st, a_roots, s_st, s_v, s_vl, counts = verify_storage_grouped_sharded(
+        mesh, a_packed, s_packed, slots_arr, sa)
+    np.testing.assert_array_equal(a_st, ref.account_status)
+    np.testing.assert_array_equal(a_roots, ref.storage_root)
+    np.testing.assert_array_equal(s_st, ref.slot_status)
+    np.testing.assert_array_equal(s_v, ref.slot_values)
+    np.testing.assert_array_equal(s_vl, ref.slot_value_lens)
+    want = [int((ref.slot_status == c).sum())
+            for c in (mpt.FOUND, mpt.EXCLUDED, mpt.INVALID)]
+    assert counts.tolist() == want
+    assert counts[2] == 6  # the tampered account's 6 slots

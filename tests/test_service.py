@@ -117,3 +117,45 @@ def test_service_pinned_depth_segments_restore_request_order():
     r3 = bad.verify(entries)
     np.testing.assert_array_equal(r1.status, r3.status)
     np.testing.assert_array_equal(r1.values, r3.values)
+
+
+def test_service_warmup_compiles_both_segment_executables():
+    """With a pinned depth_segments schedule, warmup must compile BOTH
+    the segmented executable and the unsegmented fallback: the first
+    schedule-miss request must trigger NO new XLA compile (a cold compile
+    is minutes through a remote relay — never acceptable mid-serving)."""
+    t, keys = _trie(48, tag=b"svcwarm")
+    root = t.root_hash()
+    entries = [(root, t.get_proof(k), k) for k in keys[:32]]
+
+    # a schedule the (depth-sorted) 32-batch fits
+    probe_svc = BatchVerifier(BucketConfig.account(), batch_size=32)
+    probe = probe_svc.pack(sorted(entries, key=lambda e: -len(e[1])))
+    nn = probe.num_nodes
+    segs = tuple()
+    for o in range(0, len(nn), 16):
+        c = min(16, len(nn) - o)
+        segs += ((c, max(int(nn[o:o + c].max()), 1)),)
+
+    svc = BatchVerifier(BucketConfig.account(), batch_size=32,
+                        depth_segments=segs)
+    svc.warmup(entries)
+
+    before = mpt.verify_proofs_pooled._cache_size()
+    # hit: fits the pinned schedule
+    r_hit = svc.verify(entries)
+    # miss: one proof deeper than segment 0's d (an absent key through a
+    # branchy region still packs; simplest miss = wrong batch size is
+    # rejected, so build a miss by breaking the segment bound instead)
+    deep = BatchVerifier(BucketConfig.account(), batch_size=32,
+                         depth_segments=((32, 1),))
+    deep.pool_rows = svc.pool_rows  # same pinned bucket as svc
+    deep._warm = True  # serving without its own warmup: executables must
+    #                    already be covered by svc's warmup compiles
+    r_miss = deep.verify(entries)
+    after = mpt.verify_proofs_pooled._cache_size()
+    assert after == before, (
+        f"serving compiled a new executable ({before} -> {after})")
+    assert (r_hit.status == mpt.FOUND).all()
+    np.testing.assert_array_equal(r_hit.status, r_miss.status)
+    np.testing.assert_array_equal(r_hit.values, r_miss.values)

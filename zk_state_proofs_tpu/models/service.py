@@ -105,9 +105,15 @@ class BatchVerifier:
 
     # -- lifecycle -------------------------------------------------------
     def warmup(self, example_entries=None) -> float:
-        """Compile the pinned executable once (synthetic single-leaf
+        """Compile the pinned executable(s) once (synthetic single-leaf
         trie batch when no example is given); derives pool_rows if
-        unset. Returns the compile+first-run seconds."""
+        unset. Returns the compile+first-run seconds.
+
+        With a pinned depth_segments schedule BOTH executables compile
+        here — the segmented hot path AND the unsegmented fallback that
+        serves schedule-miss batches (_compatible_segments -> None). A
+        cold compile is minutes through a remote-compile relay; it must
+        never happen inside the serving path."""
         if example_entries is None:
             from ..oracle import EthTrie, keccak256
 
@@ -123,12 +129,22 @@ class BatchVerifier:
             rows = int(probe.pool()[0].shape[0])
             self.pool_rows = -(-int(rows * 1.25) // 128) * 128
         t0 = time.time()
-        self._verify_packed(self.pack(example_entries))
+        packed = self.pack(example_entries)
+        self._verify_packed(packed)
+        if (self.depth_segments is not None and self.dedup
+                and self.mesh is None):
+            # the warmup batch may or may not fit the pinned schedule;
+            # explicitly compile the OTHER executable too
+            segs = self._compatible_segments(packed)
+            self._verify_packed(packed, force_segments=(
+                None if segs is not None else self.depth_segments))
         self._warm = True
         return time.time() - t0
 
     # -- serving ---------------------------------------------------------
-    def _verify_packed(self, packed: PackedProofs):
+    _UNSET = object()
+
+    def _verify_packed(self, packed: PackedProofs, force_segments=_UNSET):
         mvl = self.bucket.max_value_len
         if self.mesh is not None:
             from ..parallel.mesh import make_sharded_verifier
@@ -143,7 +159,10 @@ class BatchVerifier:
             # pack-time offset hints: ~free on the host, and the fused
             # kernel decodes without its serial header chain (falls back
             # to the exact kernel on any mismatch — speed, not soundness)
-            segs = self._compatible_segments(packed)
+            if force_segments is not BatchVerifier._UNSET:
+                segs = force_segments  # warmup: compile a specific variant
+            else:
+                segs = self._compatible_segments(packed)
             return mpt.verify_proofs_pooled(
                 *packed.astuple(), *packed.pool(),
                 packed.pool_hints(), max_value_len=mvl,

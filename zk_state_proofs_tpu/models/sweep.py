@@ -153,7 +153,7 @@ def _verify_sel(sel, resident, max_value_len, max_steps, materialized):
             max_value_len=max_value_len, max_steps=max_steps,
         )
     else:
-        pool, plens, dig, idx, num, roots, knib, klen = resident
+        pool, plens, dig, phints, idx, num, roots, knib, klen = resident
         status, _, _ = mpt.verify_proofs_indexed(
             pool, plens, dig,
             jnp.take(idx, sel, axis=0),
@@ -161,6 +161,7 @@ def _verify_sel(sel, resident, max_value_len, max_steps, materialized):
             jnp.take(roots, sel, axis=0),
             jnp.take(knib, sel, axis=0),
             jnp.take(klen, sel),
+            pool_hints=phints,
             max_value_len=max_value_len, max_steps=max_steps,
         )
     return status
@@ -249,9 +250,13 @@ def sweep_resident(global_packed: PackedProofs, index_batches,
         jax.block_until_ready(g_digs)
         resident = (g_nodes, g_lens, g_digs, d_num, d_roots, d_knib, d_klen)
     else:
+        # pack-time host hint scan, uploaded once per resident pool: the
+        # per-batch alternative (item_offsets inside the jitted indexed
+        # verify) costs ~0.34 ms/batch of launch-bound device fetches
+        d_hints = jax.device_put(global_packed.pool_hints())
         jax.block_until_ready(d_dig)
-        resident = (d_pool, d_plens, d_dig, d_idx, d_num, d_roots, d_knib,
-                    d_klen)
+        resident = (d_pool, d_plens, d_dig, d_hints, d_idx, d_num, d_roots,
+                    d_knib, d_klen)
     pack_s = time.time() - tp
     statics = dict(max_value_len=max_value_len, max_steps=max_steps,
                    materialized=materialize)

@@ -150,13 +150,22 @@ def batch_commitment(result: VerifyResult) -> bytes:
 
 def _slot_key_nibbles(slots):
     """Level-2 keys on device: keccak(slot) nibble-expanded (the reference
-    hashes slots in-circuit, storage-circuit/src/main.rs:26)."""
+    hashes slots in-circuit, storage-circuit/src/main.rs:26).
+
+    slots wider than 32 bytes hash only their first 32 (length-masked
+    sponge): benchmark loops carry an iteration counter in the padding
+    bytes so every dispatch is distinct work through a caching relay
+    while keys — and results — stay exact."""
     if jax.default_backend() == "tpu":
         from ..ops.keccak_pallas import keccak256_tpu as _keccak
     else:
         from ..ops.keccak import keccak256 as _keccak
 
-    slot_hashes = _keccak(slots)
+    if slots.shape[1] != 32:
+        slot_hashes = _keccak(
+            slots, jnp.full((slots.shape[0],), 32, jnp.int32))
+    else:
+        slot_hashes = _keccak(slots)
     s_knib = jax.vmap(bytes_to_nibbles_device)(slot_hashes)
     s_klen = jnp.full((slots.shape[0],), 64, jnp.int32)
     return s_knib, s_klen

@@ -514,6 +514,7 @@ def hash_pool(pool_nodes, pool_lens):
                                     "conditional", "hinted"))
 def verify_proofs_indexed(pool_nodes, pool_lens, pool_digests, pool_idx,
                           num_nodes, roots, key_nibbles, key_lens,
+                          pool_hints=None,
                           max_value_len: int = 128,
                           max_steps: int | None = None,
                           conditional: bool = True, hinted: bool = True):
@@ -535,6 +536,11 @@ def verify_proofs_indexed(pool_nodes, pool_lens, pool_digests, pool_idx,
 
     pool_nodes u8 [U, N], pool_lens i32 [U], pool_digests u8 [U, 32],
     pool_idx i32 [B, D], num_nodes i32 [B], roots u8 [B, 32].
+    pool_hints u8 [U, 36] (optional): precomputed RLP offset hints
+    (PackedProofs.pool_hints(), ~free on the host at pack time). Without
+    them the hinted path recomputes item_offsets(pool_nodes) on-device
+    INSIDE every jitted call — ~0.34 ms per 5.6k-row pool (18 tiny
+    launch-bound fetches); resident-pool callers should pass them.
     """
     b, d = pool_idx.shape
     flat = pool_idx.reshape(b * d)
@@ -546,10 +552,11 @@ def verify_proofs_indexed(pool_nodes, pool_lens, pool_digests, pool_idx,
         # hint rows ride the SAME row gather as the digests (concat before
         # the take — row-gather cost is per ROW, not per byte, so the 68-B
         # rows cost what the 32-B digest rows did)
-        from .rlp import item_offsets
+        if pool_hints is None:
+            from .rlp import item_offsets
 
-        payload = jnp.concatenate(
-            [pool_digests, item_offsets(pool_nodes)], axis=1)
+            pool_hints = item_offsets(pool_nodes)
+        payload = jnp.concatenate([pool_digests, pool_hints], axis=1)
         taken = jnp.take(payload, flat, axis=0).reshape(b, d, 68)
         digests, hints = taken[..., :32], taken[..., 32:]
     else:

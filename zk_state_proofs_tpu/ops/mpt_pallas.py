@@ -346,8 +346,21 @@ def _walk_kernel(d: int, nw: int, kn: int, max_steps: int, mode: str,
             ps = po
             end = ps + plen
 
-            curs1 = (None if mode == "hinted1"
-                     else jnp.concatenate([cur[1:], zero_row], axis=0))
+            # shift-by-one companion for cross-word header fetches. Every
+            # unlatched hint fetch below is bounded by hi_rows <=
+            # (10+35*16+8)//4+2 = 146 rows, so curs1 only needs a 146-row
+            # prefix — a full nw-row copy would add ~nw scratch rows at
+            # tx/receipt geometry (nw~520) and push the kernel past
+            # Mosaic's scoped-VMEM budget at the picked sublane depth
+            # (_pick_tile_sub's 2*min(nw,147) sh/shs term covers this
+            # prefix, making the hinted estimate valid at wide nw).
+            _hi_cap = min(nw, 146)
+            if mode == "hinted1":
+                curs1 = None
+            elif nw > _hi_cap:
+                curs1 = cur[1:_hi_cap + 1]
+            else:
+                curs1 = jnp.concatenate([cur[1:], zero_row], axis=0)
 
             def fetch_hint(pos, hi_rows: int):
                 pc = jnp.clip(pos, 0, nw * 4 - 1)
@@ -803,8 +816,11 @@ def _pick_tile_sub(d: int, nw: int, kn: int, hinted: bool = False,
     #                 block is inside the 3600-row calibration)
     if hinted:
         rows += 2 * d * 9  # double-buffered hint words (the sh/shs term
-        #                    above covers the hinted temps: curs1 + the
-        #                    truncated pw/ew cascade sources)
+        #                    above covers the hinted temps: the 146-row
+        #                    curs1 prefix + the truncated pw/ew cascade
+        #                    sources — curs1 is capped at min(nw, 146)
+        #                    rows in the kernel, so this term is valid at
+        #                    wide nw too)
     sub = TILE_SUB
     while sub > 1 and rows * sub > 3600 * 8:
         sub //= 2
@@ -946,8 +962,13 @@ def walk_batch_pallas_segmented(depth_segments, nodes, node_lens, num_nodes,
     Classification is bit-identical to the unsegmented call: each proof
     still walks its own num_nodes (segment d bounds every num_nodes in
     the segment by construction), max_steps passes through unchanged
-    (truncation parity), and surplus steps on shallow segments are ~free
-    via the whole-tile early exit."""
+    (truncation parity — a None default is resolved ONCE from the global
+    node axis, never per segment, so a proof with many inline-node steps
+    in a shallow segment truncates exactly like the unsegmented call),
+    and surplus steps on shallow segments are ~free via the whole-tile
+    early exit."""
+    if max_steps is None:
+        max_steps = nodes.shape[1] + 6  # walk_batch_pallas' global default
     outs, off = [], 0
     for cnt, dseg in depth_segments:
         sl = slice(off, off + cnt)

@@ -107,6 +107,81 @@ def make_sharded_verifier(mesh: Mesh, max_value_len: int = 128,
     return jax.jit(sharded)
 
 
+@functools.lru_cache(maxsize=None)
+def make_sharded_storage_verifier(mesh: Mesh):
+    """dp-sharded GROUPED two-level storage verification over `mesh`
+    (the reference's one-account/N-slots circuit shape,
+    storage-circuit/src/main.rs:6-31, generalized to A accounts).
+
+    Sharding layout: the SLOT batch is the parallel axis (it is the wide
+    dimension — S slots per account); the A unique account proofs and
+    both unique-node pools are REPLICATED, so every shard verifies the
+    account level redundantly (A is small) and gathers its slots'
+    trusted storage_roots locally — no cross-shard communication inside
+    the step, one psum for the global slot counts. Results are
+    bit-identical to models.verify_storage_grouped.
+    """
+    axis = mesh.axis_names[0]
+    spec_b = P(axis)
+
+    def _shard_fn(a_nodes, a_lens, a_num, a_roots, a_knib, a_klen,
+                  a_pn, a_pl, a_pi,
+                  s_nodes, s_lens, s_num, s_pn, s_pl, s_pi,
+                  slots, slot_accounts, active):
+        from ..models.verifier import _storage_core_grouped
+
+        a_status, acct, s_status, s_values, s_vlens = _storage_core_grouped(
+            a_nodes, a_lens, a_num, a_roots, a_knib, a_klen,
+            a_pn, a_pl, a_pi,
+            s_nodes, s_lens, s_num, s_pn, s_pl, s_pi,
+            slots, slot_accounts)
+        live = active > 0  # padded slot rows stay out of the global stats
+        local_counts = jnp.stack([
+            (live & (s_status == mpt.FOUND)).sum(),
+            (live & (s_status == mpt.EXCLUDED)).sum(),
+            (live & (s_status == mpt.INVALID)).sum(),
+        ])
+        counts = jax.lax.psum(local_counts, axis)
+        return (a_status, acct["storage_root"], s_status, s_values,
+                s_vlens, counts)
+
+    in_specs = ((P(),) * 9            # account level + pool: replicated
+                + (spec_b,) * 3       # slot proofs: sharded
+                + (P(), P(), spec_b)  # slot pool replicated, idx sharded
+                + (spec_b, spec_b, spec_b))  # slots, owners, active
+    sharded = shard_map(
+        _shard_fn,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=(P(), P(), spec_b, spec_b, spec_b, P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def verify_storage_grouped_sharded(mesh: Mesh, account_packed,
+                                   storage_packed, slots, slot_accounts):
+    """Convenience wrapper over make_sharded_storage_verifier: pad the
+    slot batch to the mesh size, shard, verify, slice back. Returns
+    (account_status [A], storage_roots [A, 32], slot_status [B],
+    slot_values [B, 64], slot_value_lens [B], global_counts [3])."""
+    a, s = account_packed, storage_packed
+    n = mesh.devices.size
+    slots = np.asarray(slots, dtype=np.uint8)
+    sa = np.asarray(slot_accounts, dtype=np.int32)
+    active = np.ones(s.batch, dtype=np.int32)
+    s_pool = s.pool()
+    (s_nodes, s_lens, s_num, d_slots, d_sa, d_active, s_pi), b = pad_batch(
+        (s.nodes, s.node_lens, s.num_nodes, slots, sa, active, s_pool[2]), n)
+    fn = make_sharded_storage_verifier(mesh)
+    a_st, a_roots, s_st, s_v, s_vl, counts = fn(
+        *(a.astuple() + a.pool()),
+        s_nodes, s_lens, s_num, s_pool[0], s_pool[1], s_pi,
+        d_slots, d_sa, d_active)
+    return (np.asarray(a_st), np.asarray(a_roots), np.asarray(s_st)[:b],
+            np.asarray(s_v)[:b], np.asarray(s_vl)[:b], np.asarray(counts))
+
+
 def verify_proofs_sharded(mesh: Mesh, packed, max_value_len: int = 128,
                           dedup: bool = True):
     """Convenience wrapper: pad the batch to the mesh size, shard, verify,

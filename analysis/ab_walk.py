@@ -36,16 +36,27 @@ REPS = int(os.environ.get("ZKP_AB_REPS", "6"))
 
 
 def make_step(packed, args, pargs, ph, mode):
-    # "seg" = depth-bucketed walk dispatch (kernel hint mode stays the
-    # default); "seg:<m>" combines segments with hint mode <m>
+    # composable variants joined by "+":
+    #   seg      depth-bucketed walk dispatch (packed.depth_segments())
+    #   ps       segmented pool hashing (packed.pool_block_segments())
+    #   hinted | hinted1 | hinted4 | ordered   kernel hint mode
+    # legacy "seg:<m>" spelling still accepted.
+    if mode.startswith("seg:"):
+        parts = ["seg", mode[4:]]
+    else:
+        parts = mode.split("+")
     kw = {}
-    if mode == "seg" or mode.startswith("seg:"):
+    if "seg" in parts:
         kw["depth_segments"] = packed.depth_segments()
-        kw["hint_mode"] = mode[4:] or None if mode.startswith("seg:") else None
         print(f"[{mode}] segments: {kw['depth_segments']}",
               file=sys.stderr, flush=True)
-    else:
-        kw["hint_mode"] = mode
+    if "ps" in parts:
+        kw["pool_segments"] = packed.pool_block_segments()
+        print(f"[{mode}] pool segments: {kw['pool_segments']}",
+              file=sys.stderr, flush=True)
+    hm = [p for p in parts if p in ("hinted", "hinted1", "hinted4",
+                                    "ordered")]
+    kw["hint_mode"] = hm[0] if hm else None
     fn = functools.partial(mpt.verify_proofs_pooled, max_value_len=128,
                            max_steps=packed.nodes.shape[1],
                            conditional=False, **kw)

@@ -111,10 +111,16 @@ def bench_verify(batch=4096, iters=20, n_accounts=None, label="distinct"):
     # with d, the kernel's measured floor) — clean A/B: 1.20 -> 1.06
     # ms/4096 at the distinct shape, bit-identical classification.
     segs = packed.depth_segments()
-    _log(f"[{label}] depth segments: {segs}")
+    psegs = packed.pool_block_segments()
+    _log(f"[{label}] depth segments: {segs}  pool segments: {psegs}")
+    # pool_segments: hash the length-sorted pool as one keccak call per
+    # block-count segment at its trimmed width — the XLA prep passes
+    # scale with the static block bucket, and the pool is mostly 1-block
+    # leaves under a 5-block bucket (clean interleaved A/B at this shape:
+    # -0.03 ms/batch, consistent across reps)
     fn = functools.partial(mpt.verify_proofs_pooled, max_value_len=128,
                            max_steps=packed.nodes.shape[1], conditional=False,
-                           depth_segments=segs)
+                           depth_segments=segs, pool_segments=psegs)
     t0 = time.time()
     status, values, vlens = jax.block_until_ready(fn(*args, *pargs, ph))
     _log(f"compile+first run: {time.time()-t0:.1f}s  "

@@ -478,3 +478,79 @@ def test_pallas_bounded_decode_overflow_fallback():
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
     assert (np.asarray(s2)[:4] == mpt.FOUND).all()
+
+
+def test_pallas_ordered_parity_and_fast_path():
+    """'ordered' mode (sequential-node materialization: cur = nodes[step]
+    via one dynamic slice instead of the d-way masked select) must match
+    the XLA walker bit-exactly on honest AND adversarial inputs, and on a
+    walk-ordered inline-free batch the fast path must serve every proof
+    itself (no exact-kernel fallback)."""
+    t = EthTrie()
+    keys = []
+    for i in range(64):
+        k = keccak256(b"ord-%d" % i)
+        t.insert(k, b"\x09" + bytes([i]) * 40)  # >=32B values: no inlines
+        keys.append(k)
+    root = t.root_hash()
+    entries = [(root, t.get_proof(k), k) for k in keys[:12]]
+    absent = keccak256(b"ord-absent")
+    entries.append((root, t.get_proof(absent), absent))          # EXCLUDED
+    entries.append((b"\x31" * 32, t.get_proof(keys[1]), keys[1]))  # root miss
+    entries.append((root, t.get_proof(keys[2])[:1], keys[2]))    # hash miss
+    crafted = rlp.encode([b"\x01"])
+    entries.append((keccak256(crafted), [crafted], keys[3]))     # malformed
+    bad = [bytearray(x) for x in t.get_proof(keys[4])]
+    bad[-1][5] ^= 1
+    entries.append((root, [bytes(x) for x in bad], keys[4]))     # corrupt
+
+    packed = pack_proofs(entries)
+    args = [jnp.asarray(a) for a in packed.astuple()]
+    dig = mpt.hash_nodes(args[0], args[1])
+    hints = _hints_for(packed)
+    s1, v1, l1, r1 = mpt.walk_batch(*args[:3], dig, *args[3:], 128)
+    s2, v2, l2, r2, ovf = walk_batch_pallas(
+        *args[:3], dig, *args[3:], 128, hints=hints, with_reasons=True,
+        with_overflow=True, hint_mode="ordered")
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+    # honest walk-ordered pack: nothing defers to the exact kernel
+    assert (np.asarray(ovf)[:len(entries)] == 0).all()
+    assert (np.asarray(s2)[:12] == mpt.FOUND).all()
+
+
+def test_pallas_ordered_unordered_pack_falls_back():
+    """A proof whose nodes are NOT in walk order is legal input (the
+    reference's proof DB is hash-keyed and order-independent,
+    crypto-ops/src/lib.rs:10-14): ordered mode must latch the overflow
+    flag on it and the exact re-run must keep results bit-identical."""
+    t = EthTrie()
+    keys = []
+    for i in range(48):
+        k = keccak256(b"oshuf-%d" % i)
+        t.insert(k, b"\x0b" + bytes([i]) * 40)
+        keys.append(k)
+    root = t.root_hash()
+    rng = np.random.default_rng(3)
+    entries = []
+    for k in keys[:10]:
+        p = list(t.get_proof(k))
+        if len(p) > 1:
+            perm = rng.permutation(len(p))
+            p = [p[j] for j in perm]
+        entries.append((root, p, k))
+    packed = pack_proofs(entries)
+    args = [jnp.asarray(a) for a in packed.astuple()]
+    dig = mpt.hash_nodes(args[0], args[1])
+    hints = _hints_for(packed)
+    s1, v1, l1, _ = mpt.walk_batch(*args[:3], dig, *args[3:], 128)
+    s2, v2, l2, ovf = walk_batch_pallas(
+        *args[:3], dig, *args[3:], 128, hints=hints, with_overflow=True,
+        hint_mode="ordered")
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    assert (np.asarray(s2) == mpt.FOUND).all()
+    assert (np.asarray(ovf) > 0).any()  # out-of-order steps deferred

@@ -321,3 +321,45 @@ def test_sweep_resident_and_indexed_parity():
     assert res_e.found == 3 * int((s1[win] == mpt.FOUND).sum())
     assert res_e.excluded == 3 * int((s1[win] == mpt.EXCLUDED).sum())
     assert res_e.invalid == 0
+
+
+def test_pool_block_segments_hashing_parity():
+    """Segmented pool hashing (one keccak call per contiguous block-count
+    segment at its trimmed width, PackedProofs.pool_block_segments) must
+    produce bit-identical digests and verification results to the
+    unsegmented pool hash."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from zk_state_proofs_tpu.oracle import EthTrie, keccak256, rlp
+    from zk_state_proofs_tpu.ops import mpt
+
+    t = EthTrie()
+    keys = [keccak256(b"pbs-%d" % i) for i in range(96)]
+    for i, k in enumerate(keys):
+        t.insert(k, rlp.encode([rlp.int_to_min_bytes(i + 1), b"\x07",
+                                keccak256(b"s%d" % i), keccak256(b"c%d" % i)]))
+    root = t.root_hash()
+    entries = [(root, t.get_proof(k), k) for k in keys]
+    packed = pack_proofs(entries, node_len=576)
+    pool = packed.pool()
+    segs = packed.pool_block_segments(tile=64)  # force >1 segment
+    assert len(segs) >= 2
+    assert sum(c for c, _ in segs) == pool[0].shape[0]
+    # widths must cover every row's real length
+    off = 0
+    for cnt, w in segs:
+        assert int(pool[1][off:off + cnt].max()) <= w
+        off += cnt
+    d1 = np.asarray(mpt.hash_nodes_pooled(
+        jnp.asarray(pool[0]), jnp.asarray(pool[1]), jnp.asarray(pool[2])))
+    d2 = np.asarray(mpt.hash_nodes_pooled(
+        jnp.asarray(pool[0]), jnp.asarray(pool[1]), jnp.asarray(pool[2]),
+        pool_segments=segs))
+    np.testing.assert_array_equal(d1, d2)
+    r1 = mpt.verify_proofs_pooled(*packed.astuple(), *pool)
+    r2 = mpt.verify_proofs_pooled(*packed.astuple(), *pool,
+                                  pool_segments=segs)
+    for a, b in zip(r1, r2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert (np.asarray(r1[0]) == mpt.FOUND).all()

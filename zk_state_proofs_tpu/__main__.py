@@ -68,6 +68,21 @@ def cmd_verify_storage(args):
     from .ops import mpt
 
     fx = load_fixture(args.fixture)
+    # offline anchor: when the fixture carries the block's published hash,
+    # the FULL header must hash to it before its stateRoot is trusted
+    # (same chain as tests/test_mainnet_getproof.py; the hash itself is
+    # checkable against any public block explorer)
+    if fx["block"].get("hash"):
+        from .witness.encoding import block_hash
+
+        got = block_hash(fx["block"])
+        want = _data(fx["block"]["hash"])
+        if got != want:
+            print(json.dumps({
+                "error": "header-anchor mismatch",
+                "computed": "0x" + got.hex(),
+                "pinned": "0x" + want.hex()}))
+            return 1
     state_root = _data(fx["block"]["stateRoot"])
     inp = get_storage_proof_input(fx["proof"], state_root, fx["address"], fx["storageKeys"])
     b = len(inp.storage_proofs)

@@ -386,8 +386,34 @@ def hash_nodes(nodes, node_lens):
     return digests.reshape(d, b, 32).transpose(1, 0, 2)
 
 
+def _hash_pool_rows(pool_nodes, pool_lens, pool_segments=None):
+    """Digest pool rows, optionally as one keccak call per contiguous
+    block-count segment (PackedProofs.pool_block_segments()): the
+    length-sorted pool is mostly 1-block leaves, but an unsegmented call
+    preps (pad/lane-assemble/transpose) the full static block bucket for
+    every row — at the headline pool that is 5 rate blocks per row where
+    the segmented form preps ~1.4 (two-point device A/B: ~0.08 -> ~0.03
+    ms/batch). Bit-identical digests (parity-checked in tests and in
+    analysis/ab_keccak.py)."""
+    if jax.default_backend() == "tpu":
+        from .keccak_pallas import keccak256_tpu as _keccak
+    else:
+        from .keccak import keccak256 as _keccak
+    if pool_segments is None:
+        return _keccak(pool_nodes, pool_lens)
+    outs, off = [], 0
+    for cnt, w in pool_segments:
+        outs.append(_keccak(pool_nodes[off:off + cnt, :w],
+                            pool_lens[off:off + cnt]))
+        off += cnt
+    if off != pool_nodes.shape[0]:
+        raise ValueError(
+            f"pool_segments cover {off} rows, pool has {pool_nodes.shape[0]}")
+    return jnp.concatenate(outs)
+
+
 def hash_nodes_pooled(pool_nodes, pool_lens, pool_idx, with_hints=False,
-                      pool_hints=None):
+                      pool_hints=None, pool_segments=None):
     """Phase 1 with deduplicated hashing: digest the unique-node pool once
     and scatter to the per-proof table. pool_nodes u8 [U, N], pool_lens i32
     [U], pool_idx i32 [B, D] -> digests u8 [B, D, 32].
@@ -410,14 +436,7 @@ def hash_nodes_pooled(pool_nodes, pool_lens, pool_idx, with_hints=False,
     """
     b, d = pool_idx.shape
     u = pool_nodes.shape[0]
-    if jax.default_backend() == "tpu":
-        from .keccak_pallas import keccak256_tpu
-
-        pool_dig = keccak256_tpu(pool_nodes, pool_lens)
-    else:
-        from .keccak import keccak256
-
-        pool_dig = keccak256(pool_nodes, pool_lens)
+    pool_dig = _hash_pool_rows(pool_nodes, pool_lens, pool_segments)
     payload = pool_dig
     if with_hints:
         if pool_hints is None:
@@ -441,14 +460,15 @@ def hash_nodes_pooled(pool_nodes, pool_lens, pool_idx, with_hints=False,
 @functools.partial(jax.jit,
                    static_argnames=("max_value_len", "max_steps",
                                     "conditional", "hinted", "hint_mode",
-                                    "depth_segments"))
+                                    "depth_segments", "pool_segments"))
 def verify_proofs_pooled(nodes, node_lens, num_nodes, roots, key_nibbles,
                          key_lens, pool_nodes, pool_lens, pool_idx,
                          pool_hints=None,
                          max_value_len: int = 128, max_steps: int | None = None,
                          conditional: bool = True, hinted: bool = True,
                          hint_mode: str | None = None,
-                         depth_segments: tuple | None = None):
+                         depth_segments: tuple | None = None,
+                         pool_segments: tuple | None = None):
     """`verify_proofs` with deduplicated hashing (see hash_nodes_pooled).
     The pool is produced by witness packing (PackedProofs.pool()).
 
@@ -468,16 +488,24 @@ def verify_proofs_pooled(nodes, node_lens, num_nodes, roots, key_nibbles,
     the deep tiles' per-step d-way node materialization and input
     streaming (the measured walk-time floor). Hashing/scatter stay
     shared; classification is unchanged (each proof still walks its own
-    num_nodes; segment d >= every num_nodes inside it by construction)."""
+    num_nodes; segment d >= every num_nodes inside it by construction).
+
+    pool_segments: static ((row_count, width), ...) covering the pool in
+    order (PackedProofs.pool_block_segments()) — pool hashing dispatches
+    one keccak call per contiguous block-count segment at its trimmed
+    width (the XLA prep passes scale with the static block bucket; the
+    sorted pool is mostly 1-block rows). Digests are bit-identical."""
     if jax.default_backend() == "tpu":
         from .mpt_pallas import walk_batch_pallas
 
         if hinted:
             digests, hints = hash_nodes_pooled(pool_nodes, pool_lens,
                                                pool_idx, with_hints=True,
-                                               pool_hints=pool_hints)
+                                               pool_hints=pool_hints,
+                                               pool_segments=pool_segments)
         else:
-            digests = hash_nodes_pooled(pool_nodes, pool_lens, pool_idx)
+            digests = hash_nodes_pooled(pool_nodes, pool_lens, pool_idx,
+                                        pool_segments=pool_segments)
             hints = None
         if depth_segments is not None:
             from .mpt_pallas import walk_batch_pallas_segmented
@@ -489,7 +517,8 @@ def verify_proofs_pooled(nodes, node_lens, num_nodes, roots, key_nibbles,
         return walk_batch_pallas(nodes, node_lens, num_nodes, digests, roots,
                                  key_nibbles, key_lens, max_value_len,
                                  max_steps, hints=hints, hint_mode=hint_mode)
-    digests = hash_nodes_pooled(pool_nodes, pool_lens, pool_idx)
+    digests = hash_nodes_pooled(pool_nodes, pool_lens, pool_idx,
+                                pool_segments=pool_segments)
     return walk_batch(nodes, node_lens, num_nodes, digests, roots,
                       key_nibbles, key_lens, max_value_len, max_steps,
                       conditional)[:3]

@@ -172,7 +172,7 @@ def _walk_kernel(d: int, nw: int, kn: int, max_steps: int, mode: str,
     value extraction as an XLA post-stage costs ~0.11 ms/4096 (word
     shift-cascade over HBM-fetched rows); in-kernel it is one cascade
     over `cur`. The caller byte-aligns with vstart & 3."""
-    if mode in ("hinted", "hinted4", "hinted1"):
+    if mode in ("hinted", "hinted4", "hinted1", "ordered"):
         # "hinted4" = hinted with full 4-byte header fetches on every
         # item (A/B baseline for the 1-byte branch-slot fetch)
         # "hinted1" = hinted with a SINGLE-PASS union-window fetch: each
@@ -187,7 +187,7 @@ def _walk_kernel(d: int, nw: int, kn: int, max_steps: int, mode: str,
         out_ref, cur_ref, curs_ref = refs
         hints_ref = None
     bounded = mode == "bounded"
-    hinted = mode in ("hinted", "hinted4", "hinted1")
+    hinted = mode in ("hinted", "hinted4", "hinted1", "ordered")
     RUNNING, FOUND = mpt_ref.RUNNING, mpt_ref.FOUND
     EXCLUDED, INVALID = mpt_ref.EXCLUDED, mpt_ref.INVALID
     maxnib = kn
@@ -234,12 +234,29 @@ def _walk_kernel(d: int, nw: int, kn: int, max_steps: int, mode: str,
         for j in range(vw):
             out_ref[0, 6 + j] = zero
 
-    def step_body(carry):
+    def step_body(step_i, carry):
         node_idx, off, key_pos, status, vnode, vstart, vlen, ovf, reason = carry
 
-        # materialize the current node's words; the node-select masks are
-        # loop-invariant over the word axis — computed once, not per row
-        is_dd = [node_idx == dd for dd in range(1, d)]
+        if mode == "ordered":
+            # SEQUENTIAL-NODE fast path: the packer emits proof nodes in
+            # walk order (oracle get_proof returns root->leaf; pack.py
+            # preserves it), so on inline-free tries every live lane's
+            # node_idx equals the step index — the current node is ONE
+            # dynamically-indexed nw-row slice instead of the d-way
+            # masked select (the walk kernel's measured per-step traffic
+            # floor: d*nw VMEM row reads collapse to nw). Lanes whose
+            # node_idx differs (unordered packs, inline-child steps,
+            # root not at row 0) latch ovf and the exact kernel re-runs
+            # the batch — order buys speed, never soundness: the digest
+            # chain is still checked live against the selected bytes.
+            si = jnp.minimum(step_i, d - 1)
+            ovf = ovf | _i32((status == RUNNING) & (node_idx != si))
+            is_dd = None
+        else:
+            # materialize the current node's words; the node-select masks
+            # are loop-invariant over the word axis — computed once, not
+            # per row
+            is_dd = [node_idx == dd for dd in range(1, d)]
         if mode == "hinted1":
             # hinted1 fuses the union-window item fetch INTO this loop:
             # accumulators feed off the freshly selected word value, so
@@ -271,9 +288,12 @@ def _walk_kernel(d: int, nw: int, kn: int, max_steps: int, mode: str,
             h1_w1p = [[zero] * h1_nch for _ in range(17)]
             h1_w2p = {i: [zero] * h1_nch for i in h1_wide}
         for p in range(nw):
-            w = words_ref[0, 0, p]
-            for dd in range(1, d):
-                w = jnp.where(is_dd[dd - 1], words_ref[0, dd, p], w)
+            if mode == "ordered":
+                w = words_ref[0, si, p]
+            else:
+                w = words_ref[0, 0, p]
+                for dd in range(1, d):
+                    w = jnp.where(is_dd[dd - 1], words_ref[0, dd, p], w)
             cur_ref[p] = w
             if mode == "hinted1" and p < h1_rows:
                 c = p // H1_CH
@@ -284,9 +304,12 @@ def _walk_kernel(d: int, nw: int, kn: int, max_steps: int, mode: str,
                     if i in h1_wide and 1 <= p <= h1_hi[i]:
                         h1_w2p[i][c] = (h1_w2p[i][c]
                                         + jnp.where(h1_wps[i] == p - 1, w, 0))
-        blen = nlen_ref[0, 0]
-        for dd in range(1, d):
-            blen = jnp.where(is_dd[dd - 1], nlen_ref[0, dd], blen)
+        if mode == "ordered":
+            blen = nlen_ref[0, si]
+        else:
+            blen = nlen_ref[0, 0]
+            for dd in range(1, d):
+                blen = jnp.where(is_dd[dd - 1], nlen_ref[0, dd], blen)
         cur = cur_ref[:]
         if mode == "exact":
             # the 1-row-shifted copy only feeds _fetch4 (full-width decode);
@@ -326,12 +349,16 @@ def _walk_kernel(d: int, nw: int, kn: int, max_steps: int, mode: str,
             if mode == "hinted1":
                 h = h1_h  # selected in the fused materialization pass
             else:
-                hwords = []
-                for w in range(9):
-                    x = hints_ref[0, 0, w]
-                    for dd in range(1, d):
-                        x = jnp.where(is_dd[dd - 1], hints_ref[0, dd, w], x)
-                    hwords.append(x)
+                if mode == "ordered":
+                    hwords = [hints_ref[0, si, w] for w in range(9)]
+                else:
+                    hwords = []
+                    for w in range(9):
+                        x = hints_ref[0, 0, w]
+                        for dd in range(1, d):
+                            x = jnp.where(is_dd[dd - 1],
+                                          hints_ref[0, dd, w], x)
+                        hwords.append(x)
                 h = []
                 for i in range(18):
                     w = hwords[i // 2]
@@ -721,12 +748,14 @@ def _walk_kernel(d: int, nw: int, kn: int, max_steps: int, mode: str,
                 pick(new_vnode, vnode), pick(new_vstart, vstart),
                 pick(new_vlen, vlen), ovf, pick(new_reason, reason))
 
-    def step(_, carry):
+    def step(i, carry):
         # whole-tile early exit: once every proof in the tile has resolved,
         # remaining steps are no-ops (proof depths vary; default max_steps
         # carries headroom for nested inline nodes)
         any_live = jnp.any(carry[3] == RUNNING)
-        return jax.lax.cond(any_live, step_body, lambda c: c, carry)
+        return jax.lax.cond(any_live,
+                            lambda c: step_body(jnp.int32(i), c),
+                            lambda c: c, carry)
 
     carry = jax.lax.fori_loop(0, max_steps, step, carry)
     status = jnp.where(carry[3] == RUNNING, INVALID, carry[3]).astype(jnp.int32)
@@ -757,7 +786,7 @@ def _walk_lanes(words, nlens, nnum, dig, root, knib, klen, hints=None, *,
     spec = lambda *lead: pl.BlockSpec(
         (1,) + lead + tile, lambda i: (i,) + (0,) * (len(lead) + 2),
         memory_space=pltpu.VMEM)
-    hinted = mode in ("hinted", "hinted4", "hinted1")
+    hinted = mode in ("hinted", "hinted4", "hinted1", "ordered")
     args = (words, nlens, nnum, dig, root, knib, klen)
     if hinted:
         args = args + (hints,)

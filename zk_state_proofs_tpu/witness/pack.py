@@ -123,6 +123,56 @@ class PackedProofs:
                 segs.append((cnt, d))
         return tuple(segs)
 
+    def pool_block_segments(self, tile: int = 1024) -> tuple:
+        """Static contiguous ((row_count, width_bytes), ...) segments of
+        the unique-node pool at kernel-tile granularity, for segmented
+        pool hashing (ops.mpt.hash_nodes_pooled(pool_segments=...)).
+
+        The pool is length-sorted descending, so slicing it by sponge
+        block count gives contiguous runs; each segment hashes at its own
+        trimmed static width. The win is in the XLA prep passes
+        (pad_messages / bytes_to_lanes / transposes), which scale with
+        the STATIC block bucket: an unsegmented 576-B pool preps 5 rate
+        blocks for every row although the sorted pool is mostly 1-block
+        leaves (two-point device A/B at the headline pool: ~0.08 ->
+        ~0.03 ms/batch). Zero-length rows (reserved row 0 + tail padding)
+        fold into the adjacent run — hashing them at any width is exact
+        (length-masked sponge). Segment boundaries round UP to `tile` so
+        each pallas dispatch stays tile-aligned; widths round to 8."""
+        _, lens, _ = self.pool()
+        lens = np.asarray(lens)
+        rate = 136
+        nblk = np.where(lens > 0, lens // rate + 1, 0)
+        real = np.nonzero(nblk)[0]
+        if len(real) == 0:
+            return ((len(lens), 8),)
+        filled = nblk.copy()
+        last = nblk[real[0]]
+        for i in range(len(filled)):
+            if filled[i] == 0:
+                filled[i] = last
+            else:
+                last = filled[i]
+        segs: list[tuple[int, int]] = []
+        off = 0
+        n = len(lens)
+        while off < n:
+            nb = filled[off]
+            end = off
+            while end < n and filled[end] == nb:
+                end += 1
+            # round the boundary up to tile alignment (rows absorbed from
+            # the next run have <= nb blocks: exact, just less trimming)
+            end = min(n, off + -(-(end - off) // tile) * tile)
+            w = int(lens[off:end].max())
+            seg = (end - off, max(-(-w // 8) * 8, 8))
+            if segs and segs[-1][1] == seg[1]:
+                segs[-1] = (segs[-1][0] + seg[0], seg[1])
+            else:
+                segs.append(seg)
+            off = end
+        return tuple(segs)
+
     # -- disk cache (the framework's checkpoint/resume analog: packed
     # witness tensors persist so sweeps resume without re-fetching/packing,
     # SURVEY.md §5 checkpoint/resume) --

@@ -554,3 +554,25 @@ def test_pallas_ordered_unordered_pack_falls_back():
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
     assert (np.asarray(s2) == mpt.FOUND).all()
     assert (np.asarray(ovf) > 0).any()  # out-of-order steps deferred
+
+
+def test_pallas_value_window_wider_than_tiny_node_buffer():
+    """A single-leaf proof of a tiny node (~43 B => fewer word rows than
+    the value-window row count) must still compile and extract: the
+    in-kernel _dyn_window pads to the requested rows (r5 regression —
+    config 2's one-slot storage trie failed Mosaic lowering with
+    'Only 2D gather is supported' before the pad)."""
+    st = EthTrie()
+    slot = bytes(32)
+    val = rlp.encode_int(39_035_000_000_000)
+    st.insert(keccak256(slot), val)
+    root = st.root_hash()
+    proof = st.get_proof(keccak256(slot))
+    assert len(proof) == 1 and len(proof[0]) < 64  # the tiny-node shape
+    packed = pack_proofs([(root, proof, keccak256(slot))])
+    args = [jnp.asarray(a) for a in packed.astuple()]
+    assert packed.nodes.shape[2] // 4 < 64 // 4 + 2  # nw < vw
+    dig = mpt.hash_nodes(args[0], args[1])
+    s, v, l = walk_batch_pallas(*args[:3], dig, *args[3:], 64, None)
+    assert int(np.asarray(s)[0]) == mpt.FOUND
+    assert bytes(np.asarray(v)[0][:int(np.asarray(l)[0])]) == val

@@ -150,6 +150,15 @@ def _dyn_window(arr, start_row, out_rows: int):
                 axis=0)
         take = ((start_row >> b) & 1) == 1
         cur = jnp.where(take[None], shifted, base)
+    if cur.shape[0] < out_rows:
+        # window wider than the buffer (tiny nodes, e.g. single-leaf
+        # storage proofs where nw < the value-window row count): pad with
+        # zero rows so callers always get out_rows rows — mirrors the XLA
+        # twin's final pad (mpt._word_shift_window)
+        cur = jnp.concatenate(
+            [cur, jnp.broadcast_to(zero_row,
+                                   (out_rows - cur.shape[0],) + tile)],
+            axis=0)
     return cur[:out_rows]
 
 
@@ -287,13 +296,10 @@ def _walk_kernel(d: int, nw: int, kn: int, max_steps: int, mode: str,
             h1_nch = -(-h1_rows // H1_CH)
             h1_w1p = [[zero] * h1_nch for _ in range(17)]
             h1_w2p = {i: [zero] * h1_nch for i in h1_wide}
-        for p in range(nw):
-            if mode == "ordered":
-                w = words_ref[0, si, p]
-            else:
-                w = words_ref[0, 0, p]
-                for dd in range(1, d):
-                    w = jnp.where(is_dd[dd - 1], words_ref[0, dd, p], w)
+        for p in range(0 if mode == "ordered" else nw):
+            w = words_ref[0, 0, p]
+            for dd in range(1, d):
+                w = jnp.where(is_dd[dd - 1], words_ref[0, dd, p], w)
             cur_ref[p] = w
             if mode == "hinted1" and p < h1_rows:
                 c = p // H1_CH
@@ -306,11 +312,16 @@ def _walk_kernel(d: int, nw: int, kn: int, max_steps: int, mode: str,
                                         + jnp.where(h1_wps[i] == p - 1, w, 0))
         if mode == "ordered":
             blen = nlen_ref[0, si]
+            # no staging at all: the node slab is ONE dynamic slice of the
+            # VMEM input block — the nw cur_ref row writes of the select
+            # path (the last un-ruled-out term of the kernel's measured
+            # per-step floor) disappear entirely
+            cur = words_ref[0, si]
         else:
             blen = nlen_ref[0, 0]
             for dd in range(1, d):
                 blen = jnp.where(is_dd[dd - 1], nlen_ref[0, dd], blen)
-        cur = cur_ref[:]
+            cur = cur_ref[:]
         if mode == "exact":
             # the 1-row-shifted copy only feeds _fetch4 (full-width decode);
             # the bounded path derives its shifted window from `sh` instead,

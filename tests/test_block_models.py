@@ -134,12 +134,13 @@ def test_vectorized_transfer_extraction_exact_parity():
     values = [encode_receipt(r) for r in receipts]
     want = _host_reference_transfers(values, ERC20_TRANSFER_TOPIC)
     arr, lens = _pad_values(values)
-    got = extract_erc20_transfers(arr, lens,
-                                  np.full(len(values), mpt.FOUND, np.int32))
-    assert len(got) == len(want) and len(got) > 10
-    for g, w in zip(got, want):
-        assert (g.token, g.sender, g.receiver, g.amount, g.tx_index) == \
-            (w.token, w.sender, w.receiver, w.amount, w.tx_index)
+    status = np.full(len(values), mpt.FOUND, np.int32)
+    for engine in ("vectorized", "host"):
+        got = extract_erc20_transfers(arr, lens, status, engine=engine)
+        assert len(got) == len(want) and len(got) > 10, engine
+        for g, w in zip(got, want):
+            assert (g.token, g.sender, g.receiver, g.amount, g.tx_index) == \
+                (w.token, w.sender, w.receiver, w.amount, w.tx_index), engine
 
 
 def test_transfer_extraction_rejects_embedded_fake_pattern():
@@ -172,8 +173,10 @@ def test_transfer_extraction_rejects_embedded_fake_pattern():
     want = _host_reference_transfers(values, ERC20_TRANSFER_TOPIC)
     assert len(want) == 1 and want[0].amount == 42
     arr, lens = _pad_values(values)
-    got = extract_erc20_transfers(arr, lens,
-                                  np.full(2, mpt.FOUND, np.int32))
-    assert len(got) == 1
-    assert got[0].token == b"\xdd" * 20 and got[0].amount == 42
-    assert got[0].tx_index == 1
+    for engine in ("vectorized", "host"):
+        got = extract_erc20_transfers(arr, lens,
+                                      np.full(2, mpt.FOUND, np.int32),
+                                      engine=engine)
+        assert len(got) == 1, engine
+        assert got[0].token == b"\xdd" * 20 and got[0].amount == 42
+        assert got[0].tx_index == 1

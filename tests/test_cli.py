@@ -68,3 +68,30 @@ def test_diagnose_command(tmp_path, capsys):
     rc = main(["diagnose", "--fixture", str(path), "--kind", "receipts"])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and out["counts"]["found"] == 8
+
+
+def test_verify_storage_cli_enforces_header_anchor(tmp_path, capsys):
+    """verify-storage must (1) verify a getproof fixture end-to-end on
+    the device path and (2) refuse a fixture whose full header does not
+    hash to its pinned block hash (the offline trust anchor for
+    stateRoot — same chain as tests/test_mainnet_getproof.py)."""
+    from tests.test_mainnet_getproof import _synthetic_getproof_fixture
+
+    fx, expected_hash = _synthetic_getproof_fixture()
+    fx["block"]["hash"] = "0x" + expected_hash.hex()
+    path = tmp_path / "usdt_proof.json"
+    save_fixture(path, fx)
+
+    rc = main(["verify-storage", "--fixture", str(path)])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0
+    assert out["account_found"] is True
+    assert out["slots"][0]["value"] != "0x"
+
+    # tamper any header field -> anchor mismatch, hard refusal
+    fx["block"]["gasUsed"] = "0x1"
+    save_fixture(path, fx)
+    rc = main(["verify-storage", "--fixture", str(path)])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 1
+    assert out["error"] == "header-anchor mismatch"

@@ -219,17 +219,29 @@ def _parse_transfers_vectorized(v, lens, rows, topic: bytes):
     return records, bad
 
 
-def extract_erc20_transfers(values, value_lens, status, indices=None) -> list:
+def extract_erc20_transfers(values, value_lens, status, indices=None,
+                            engine: str = "host") -> list:
     """Pull ERC20 Transfer events out of verified receipt values.
 
-    Three stages, all exact: (1) a vectorized 32-byte topic scan marks
-    candidate rows (substring presence is a superset of a topics[0]
-    match — non-candidates pay one numpy pass and stop); (2) candidate
-    rows run the vectorized breadth-first log parser above (a
-    Transfer-heavy mainnet block stays vectorized — VERDICT r4 weak #6);
-    (3) only structurally malformed rows fall back to the host RLP
-    decode, so results are identical to a full per-receipt decode on
-    every input."""
+    Stage 1 is always the vectorized 32-byte topic scan: candidate rows
+    (substring presence is a superset of a topics[0] match) — blocks
+    where most receipts carry no Transfer pay one numpy pass and stop.
+    Stage 2 decodes the candidates, with two exact, parity-tested
+    engines:
+
+      engine="host" (default): per-candidate Python RLP decode.
+        MEASURED faster at mainnet-like shapes — 67k vs 50k receipts/s
+        at a 100%-candidate 4096-row sweep with 1-3 Transfer logs each
+        (bench_configs config 3): numpy per-op dispatch outweighs the
+        Python loop at these log counts.
+      engine="vectorized": the breadth-first structural parser above
+        (one numpy pass per log position across all rows; malformed rows
+        fall back to the host decode). Kept for its scaling shape (cost
+        tracks max logs/receipt, not total receipts) and as the
+        structural cross-check the anti-spoofing test runs against.
+
+    Results are identical on every input (both reject byte patterns
+    embedded in log data — the host engine parses real structure too)."""
     topic = bytes.fromhex(ERC20_TRANSFER_TOPIC[2:])
     out = []
     values = np.asarray(values)
@@ -239,11 +251,59 @@ def extract_erc20_transfers(values, value_lens, status, indices=None) -> list:
     candidates = _rows_containing(values, value_lens, topic)
     rows = [row for row in range(len(idx_list))
             if status[row] == mpt.FOUND and candidates[row]]
+    if engine == "host":
+        for row in rows:
+            tx_index = idx_list[row]
+            receipt = decode_receipt_value(
+                bytes(values[row][: value_lens[row]]))
+            for log in receipt["logs"]:
+                if (log["topics"] and log["topics"][0] == topic
+                        and len(log["topics"]) == 3):
+                    out.append(Erc20Transfer(
+                        token=log["address"],
+                        sender=log["topics"][1][-20:],
+                        receiver=log["topics"][2][-20:],
+                        amount=int.from_bytes(log["data"][:32], "big"),
+                        tx_index=tx_index,
+                    ))
+        return out
     records, bad = _parse_transfers_vectorized(values, value_lens, rows,
                                                topic)
-    per_row = {}
-    for rec in records:
-        per_row.setdefault(rec[0], []).append(rec)
+    # field extraction stays vectorized too: one fancy gather per field
+    # over all records (per-record numpy slicing costs ~10 us/record in
+    # Python — it dominated the sweep-scale wall time before this)
+    good_recs = [r for r in records if not bad[r[0]]]
+    if good_recs:
+        good_recs.sort(key=lambda rec: (rec[0], rec[1]))
+        ra = np.asarray(good_recs, dtype=np.int64)
+        rrows = np.asarray(rows)[ra[:, 0]]
+        j20 = np.arange(20)
+        tok = values[rrows[:, None], ra[:, 2][:, None] + j20[None, :]]
+        snd = values[rrows[:, None], ra[:, 3][:, None] + 12 + j20[None, :]]
+        rcv = values[rrows[:, None], ra[:, 4][:, None] + 12 + j20[None, :]]
+        j32 = np.arange(32)
+        # clip: short data items near the row end may push unmasked
+        # window columns past the buffer (the masked columns don't count)
+        acol = np.minimum(ra[:, 5][:, None] + j32[None, :],
+                          values.shape[1] - 1)
+        amt = values[rrows[:, None], acol]
+        amt = np.where(j32[None, :] < np.minimum(ra[:, 6], 32)[:, None],
+                       amt, 0)
+        # big-endian int per record, width = min(dlen, 32)
+        tokb, sndb, rcvb = tok.tobytes(), snd.tobytes(), rcv.tobytes()
+        amtb = amt.astype(np.uint8).tobytes()
+        by_row = {}
+        for k in range(len(good_recs)):
+            w = min(int(ra[k, 6]), 32)
+            by_row.setdefault(int(ra[k, 0]), []).append(Erc20Transfer(
+                token=tokb[20 * k:20 * k + 20],
+                sender=sndb[20 * k:20 * k + 20],
+                receiver=rcvb[20 * k:20 * k + 20],
+                amount=int.from_bytes(amtb[32 * k:32 * k + w], "big"),
+                tx_index=idx_list[rows[int(ra[k, 0])]],
+            ))
+    else:
+        by_row = {}
     for i, row in enumerate(rows):
         tx_index = idx_list[row]
         if bad[i]:
@@ -261,17 +321,7 @@ def extract_erc20_transfers(values, value_lens, status, indices=None) -> list:
                         tx_index=tx_index,
                     ))
             continue
-        for (_, _, addr_pos, t1, t2, dpos, dlen) in sorted(
-                per_row.get(i, []), key=lambda rec: rec[1]):
-            vrow = values[row]
-            out.append(Erc20Transfer(
-                token=bytes(vrow[addr_pos:addr_pos + 20]),
-                sender=bytes(vrow[t1 + 12:t1 + 32]),
-                receiver=bytes(vrow[t2 + 12:t2 + 32]),
-                amount=int.from_bytes(
-                    bytes(vrow[dpos:dpos + min(int(dlen), 32)]), "big"),
-                tx_index=tx_index,
-            ))
+        out.extend(by_row.get(i, ()))
     return out
 
 

@@ -55,7 +55,7 @@ def make_step(packed, args, pargs, ph, mode):
         print(f"[{mode}] pool segments: {kw['pool_segments']}",
               file=sys.stderr, flush=True)
     hm = [p for p in parts if p in ("hinted", "hinted1", "hinted4",
-                                    "ordered")]
+                                    "ordered", "pairskip")]
     kw["hint_mode"] = hm[0] if hm else None
     fn = functools.partial(mpt.verify_proofs_pooled, max_value_len=128,
                            max_steps=packed.nodes.shape[1],

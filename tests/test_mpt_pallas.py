@@ -576,3 +576,53 @@ def test_pallas_value_window_wider_than_tiny_node_buffer():
     s, v, l = walk_batch_pallas(*args[:3], dig, *args[3:], 64, None)
     assert int(np.asarray(s)[0]) == mpt.FOUND
     assert bytes(np.asarray(v)[0][:int(np.asarray(l)[0])]) == val
+
+
+def test_pallas_pairskip_parity():
+    """'pairskip' (extension/leaf machinery gated behind a whole-tile
+    any-pair pl.when) must be bit-identical to 'hinted' on honest and
+    adversarial batches, including EXCLUDED leaves, root misses, and an
+    inline-node trie that defers to the exact kernel."""
+    t = EthTrie()
+    keys = []
+    for i in range(48):
+        k = keccak256(b"psk-%d" % i)
+        t.insert(k, b"\x09" + bytes([i]) * 40)
+        keys.append(k)
+    root = t.root_hash()
+    entries = [(root, t.get_proof(k), k) for k in keys[:10]]
+    absent = keccak256(b"psk-absent")
+    entries.append((root, t.get_proof(absent), absent))
+    entries.append((b"\x31" * 32, t.get_proof(keys[1]), keys[1]))
+    entries.append((root, t.get_proof(keys[2])[:1], keys[2]))
+    packed = pack_proofs(entries)
+    args = [jnp.asarray(a) for a in packed.astuple()]
+    dig = mpt.hash_nodes(args[0], args[1])
+    hints = _hints_for(packed)
+    s1, v1, l1, r1 = mpt.walk_batch(*args[:3], dig, *args[3:], 128)
+    s2, v2, l2, r2, ovf = walk_batch_pallas(
+        *args[:3], dig, *args[3:], 128, hints=hints, with_reasons=True,
+        with_overflow=True, hint_mode="pairskip")
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+    assert (np.asarray(ovf)[:len(entries)] == 0).all()
+
+    # inline-node trie: pairskip's hinted base defers to the exact kernel
+    t2 = EthTrie()
+    for i in range(24):
+        t2.insert(keccak256(b"pski-%d" % i)[:6], rlp.int_to_min_bytes(i + 1))
+    r2_ = t2.root_hash()
+    e2 = [(r2_, t2.get_proof(keccak256(b"pski-%d" % i)[:6]),
+           keccak256(b"pski-%d" % i)[:6]) for i in range(8)]
+    p2 = pack_proofs(e2)
+    a2 = [jnp.asarray(a) for a in p2.astuple()]
+    d2 = mpt.hash_nodes(a2[0], a2[1])
+    h2 = _hints_for(p2)
+    sa, va, la, _ = mpt.walk_batch(*a2[:3], d2, *a2[3:], 64)
+    sb, vb, lb = walk_batch_pallas(*a2[:3], d2, *a2[3:], 64,
+                                   hints=h2, hint_mode="pairskip")
+    np.testing.assert_array_equal(np.asarray(sa), np.asarray(sb))
+    np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+    np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))

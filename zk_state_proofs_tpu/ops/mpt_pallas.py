@@ -181,22 +181,27 @@ def _walk_kernel(d: int, nw: int, kn: int, max_steps: int, mode: str,
     value extraction as an XLA post-stage costs ~0.11 ms/4096 (word
     shift-cascade over HBM-fetched rows); in-kernel it is one cascade
     over `cur`. The caller byte-aligns with vstart & 3."""
-    if mode in ("hinted", "hinted4", "hinted1", "ordered"):
+    if mode in ("hinted", "hinted4", "hinted1", "ordered", "pairskip"):
         # "hinted4" = hinted with full 4-byte header fetches on every
         # item (A/B baseline for the 1-byte branch-slot fetch)
         # "hinted1" = hinted with a SINGLE-PASS union-window fetch: each
         # consulted cur row is read once and feeds every item
         # accumulator whose window covers it (A/B vs 17 overlapping
         # per-item masked reduces — the kernel is VMEM-traffic-bound)
-        hints_ref, out_ref, cur_ref = refs
+        if mode == "pairskip":
+            hints_ref, out_ref, cur_ref, pair_ref = refs
+        else:
+            (hints_ref, out_ref, cur_ref), pair_ref = refs, None
         curs_ref = None
     elif mode == "bounded":
         (out_ref, cur_ref), curs_ref, hints_ref = refs, None, None
+        pair_ref = None
     else:
         out_ref, cur_ref, curs_ref = refs
         hints_ref = None
+        pair_ref = None
     bounded = mode == "bounded"
-    hinted = mode in ("hinted", "hinted4", "hinted1", "ordered")
+    hinted = mode in ("hinted", "hinted4", "hinted1", "ordered", "pairskip")
     RUNNING, FOUND = mpt_ref.RUNNING, mpt_ref.FOUND
     EXCLUDED, INVALID = mpt_ref.EXCLUDED, mpt_ref.INVALID
     maxnib = kn
@@ -631,44 +636,73 @@ def _walk_kernel(d: int, nw: int, kn: int, max_steps: int, mode: str,
                            & (end <= blen) & all_ok)
 
         # ---- extension/leaf: hex-prefix decode + nibble compare ----
-        p0s, p0l = sel["i0_pay"], sel["i0_len"]
-        p0list = sel["i0_list"] == 1
-        wp0 = jnp.clip(p0s, 0, nw * 4 - 1) >> 2
-        r0 = jnp.clip(p0s, 0, nw * 4 - 1) & 3
-        n_path_words = maxnib // 8 + 2  # 34-byte window = 9 words + align
-        # hinted mode: unlatched lanes have p0s = h[0] + head <= 14 (the
-        # i=0 window bound), so the hex-prefix window cascade only needs a
-        # small static prefix of cur (latched lanes may read garbage — the
-        # exact re-run replaces them)
-        pw_src = cur[:min(nw, n_path_words + 6)] if hinted else cur
-        pwords = _dyn_window(pw_src, wp0, n_path_words + 1)
-        pbytes_raw = []
-        for p in range(n_path_words + 1):
-            pbytes_raw.extend(_bytes_of_word(pwords[p]))
-        pbytes = []
-        for j in range(maxnib // 2 + 2):
-            x = pbytes_raw[j]
-            for s in (1, 2, 3):
-                x = jnp.where(r0 == s, pbytes_raw[j + s], x)
-            pbytes.append(x)
-        pnibs = []
-        for bb in pbytes:
-            pnibs.append(bb >> 4)
-            pnibs.append(bb & 0x0F)
-        b0 = pbytes[0]
-        flag = b0 >> 4
-        p_is_leaf = flag >= 2
-        odd = flag & 1
-        hp_ok = (~p0list & (p0l >= 1) & (flag <= 3)
-                 & ((odd == 1) | ((b0 & 0x0F) == 0)))
-        n_path = 2 * (p0l - 1) + odd
-        kwin = _dyn_window(knibs, key_pos, maxnib)
-        nib_match = jnp.ones(tile, jnp.bool_)
-        for j in range(maxnib):
-            pn = jnp.where(odd == 1, pnibs[1 + j], pnibs[2 + j])
-            nib_match = nib_match & ((j >= n_path) | (pn == kwin[j]))
-        within_key = key_pos + n_path <= klen
-        p_match = nib_match & within_key
+        def compute_pair():
+            p0s, p0l = sel["i0_pay"], sel["i0_len"]
+            p0list = sel["i0_list"] == 1
+            wp0 = jnp.clip(p0s, 0, nw * 4 - 1) >> 2
+            r0 = jnp.clip(p0s, 0, nw * 4 - 1) & 3
+            n_path_words = maxnib // 8 + 2  # 34-B window = 9 words + align
+            # hinted mode: unlatched lanes have p0s = h[0] + head <= 14
+            # (the i=0 window bound), so the hex-prefix window cascade
+            # only needs a small static prefix of cur (latched lanes may
+            # read garbage — the exact re-run replaces them)
+            pw_src = cur[:min(nw, n_path_words + 6)] if hinted else cur
+            pwords = _dyn_window(pw_src, wp0, n_path_words + 1)
+            pbytes_raw = []
+            for p in range(n_path_words + 1):
+                pbytes_raw.extend(_bytes_of_word(pwords[p]))
+            pbytes = []
+            for j in range(maxnib // 2 + 2):
+                x = pbytes_raw[j]
+                for s in (1, 2, 3):
+                    x = jnp.where(r0 == s, pbytes_raw[j + s], x)
+                pbytes.append(x)
+            pnibs = []
+            for bb in pbytes:
+                pnibs.append(bb >> 4)
+                pnibs.append(bb & 0x0F)
+            b0 = pbytes[0]
+            flag = b0 >> 4
+            pl_leaf = flag >= 2
+            odd = flag & 1
+            hpo = (~p0list & (p0l >= 1) & (flag <= 3)
+                   & ((odd == 1) | ((b0 & 0x0F) == 0)))
+            npt = 2 * (p0l - 1) + odd
+            kwin = _dyn_window(knibs, key_pos, maxnib)
+            nib_match = jnp.ones(tile, jnp.bool_)
+            for j in range(maxnib):
+                pn = jnp.where(odd == 1, pnibs[1 + j], pnibs[2 + j])
+                nib_match = nib_match & ((j >= npt) | (pn == kwin[j]))
+            within_key = key_pos + npt <= klen
+            return pl_leaf, hpo, npt, nib_match & within_key
+
+        if pair_ref is not None:
+            # "pairskip": the pair machinery (hex-prefix cascade + key
+            # window + nibble compare — the step's largest parallel
+            # block) is gated on ANY live lane actually sitting on a
+            # 2-item node. On depth-sorted account batches that is false
+            # for every non-terminal step, so the region skips at
+            # runtime like the whole-tile early exit. Scratch defaults
+            # are irrelevant when skipped: no live lane is a pair node,
+            # so the merge never consults them (dead lanes are masked
+            # by pick(live)).
+            any_pair = jnp.any(live0 & (count == 2))
+            for j in range(4):
+                pair_ref[j] = zero
+
+            @pl.when(any_pair)
+            def _():
+                pil, hpo, npt, pm = compute_pair()
+                pair_ref[0] = _i32(pil)
+                pair_ref[1] = _i32(hpo)
+                pair_ref[2] = npt
+                pair_ref[3] = _i32(pm)
+            p_is_leaf = pair_ref[0] == 1
+            hp_ok = pair_ref[1] == 1
+            n_path = pair_ref[2]
+            p_match = pair_ref[3] == 1
+        else:
+            p_is_leaf, hp_ok, n_path, p_match = compute_pair()
 
         # ---- merge (mirrors mpt._step_merge) ----
         is_branch = count == 17
@@ -797,7 +831,7 @@ def _walk_lanes(words, nlens, nnum, dig, root, knib, klen, hints=None, *,
     spec = lambda *lead: pl.BlockSpec(
         (1,) + lead + tile, lambda i: (i,) + (0,) * (len(lead) + 2),
         memory_space=pltpu.VMEM)
-    hinted = mode in ("hinted", "hinted4", "hinted1", "ordered")
+    hinted = mode in ("hinted", "hinted4", "hinted1", "ordered", "pairskip")
     args = (words, nlens, nnum, dig, root, knib, klen)
     if hinted:
         args = args + (hints,)
@@ -819,6 +853,8 @@ def _walk_lanes(words, nlens, nnum, dig, root, knib, klen, hints=None, *,
             pltpu.VMEM((nw,) + tile, jnp.int32),  # cur
         ] + ([] if mode != "exact" else [
             pltpu.VMEM((nw,) + tile, jnp.int32),  # curs
+        ]) + ([] if mode != "pairskip" else [
+            pltpu.VMEM((4,) + tile, jnp.int32),   # gated pair outputs
         ]),
         interpret=jax.default_backend() != "tpu",
     )(*args)

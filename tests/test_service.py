@@ -159,3 +159,44 @@ def test_service_warmup_compiles_both_segment_executables():
     assert (r_hit.status == mpt.FOUND).all()
     np.testing.assert_array_equal(r_hit.status, r_miss.status)
     np.testing.assert_array_equal(r_hit.values, r_miss.values)
+
+
+def test_service_pinned_pool_segments_hit_and_miss():
+    """A pinned segmented-pool-hash schedule must serve fitting batches
+    through the segmented executable and fall back (zero new compiles)
+    on batches whose pool doesn't fit it — results bit-identical to the
+    unsegmented service either way."""
+    t, keys = _trie(64, tag=b"svcps")
+    root = t.root_hash()
+    entries = [(root, t.get_proof(k), k) for k in keys[:32]]
+
+    plain = BatchVerifier(BucketConfig.account(), batch_size=32)
+    r_ref = plain.verify(entries)
+
+    probe = plain.pack(entries)
+    psegs = probe.pool_block_segments(tile=32)
+    svc = BatchVerifier(BucketConfig.account(), batch_size=32,
+                        pool_segments=psegs)
+    svc.pool_rows = plain.pool_rows  # same pinned pool bucket
+    svc.warmup(entries)
+    assert svc._compatible_pool_segments(probe) == psegs
+
+    before = mpt.verify_proofs_pooled._cache_size()
+    r_hit = svc.verify(entries)
+    np.testing.assert_array_equal(r_ref.status, r_hit.status)
+    np.testing.assert_array_equal(r_ref.values, r_hit.values)
+
+    # force a miss: shrink a segment width below the real max length
+    squeezed = tuple((c, 8) for c, _ in psegs)
+    miss = BatchVerifier(BucketConfig.account(), batch_size=32,
+                         pool_segments=squeezed)
+    miss.pool_rows = svc.pool_rows
+    miss._warm = True  # rides svc's warmup: the fallback (ps=None)
+    #                    executable must already be compiled
+    assert miss._compatible_pool_segments(probe) is None
+    r_miss = miss.verify(entries)
+    after = mpt.verify_proofs_pooled._cache_size()
+    assert after == before, (before, after)
+    np.testing.assert_array_equal(r_ref.status, r_miss.status)
+    np.testing.assert_array_equal(r_ref.values, r_miss.values)
+    np.testing.assert_array_equal(r_ref.value_lens, r_miss.value_lens)

@@ -65,17 +65,29 @@ class BatchVerifier:
                incompatible batches use the unsegmented executable, so a
                schedule miss costs speed, never correctness. A/B at the
                4096-distinct-account shape: 1.20 -> 1.06 ms/batch.
+    pool_segments: optional PINNED segmented-pool-hash schedule
+               ((row_count, width), ...; see
+               PackedProofs.pool_block_segments) for the dedup
+               single-device path — one keccak call per contiguous
+               block-count run of the (length-sorted) pool at its
+               trimmed width (-0.03 ms/batch at the headline shape). A
+               host check routes each batch through it only when every
+               pool row's length fits its segment width; misses fall
+               back to the unsegmented pool hash (warmed too — a miss
+               costs speed, never a serving-path compile).
     """
 
     def __init__(self, bucket: BucketConfig, batch_size: int = 4096,
                  dedup: bool = True, pool_rows: int = 0, mesh=None,
-                 depth_segments: tuple | None = None):
+                 depth_segments: tuple | None = None,
+                 pool_segments: tuple | None = None):
         self.bucket = bucket
         self.batch_size = int(batch_size)
         self.dedup = dedup
         self.pool_rows = int(pool_rows)
         self.mesh = mesh
         self.depth_segments = depth_segments
+        self.pool_segments = pool_segments
         self.stats = ServiceStats()
         self._warm = False
 
@@ -130,21 +142,42 @@ class BatchVerifier:
             self.pool_rows = -(-int(rows * 1.25) // 128) * 128
         t0 = time.time()
         packed = self.pack(example_entries)
-        self._verify_packed(packed)
-        if (self.depth_segments is not None and self.dedup
+        if (self.pool_segments is not None and self.dedup
                 and self.mesh is None):
-            # the warmup batch may or may not fit the pinned schedule;
-            # explicitly compile the OTHER executable too
-            segs = self._compatible_segments(packed)
-            self._verify_packed(packed, force_segments=(
-                None if segs is not None else self.depth_segments))
+            rows = int(packed.pool()[0].shape[0])
+            want = sum(c for c, _ in self.pool_segments)
+            if want != rows:
+                raise ValueError(
+                    f"pinned pool_segments cover {want} rows but the "
+                    f"pinned pool bucket is {rows} — derive the schedule "
+                    f"from a batch packed into THIS service's bucket "
+                    f"(PackedProofs.pool_block_segments on svc.pack(...))")
+        self._verify_packed(packed)
+        if self.dedup and self.mesh is None:
+            # compile every (depth_segments, pool_segments) combination a
+            # request could route to: each pinned schedule has a miss
+            # fallback, and a schedule miss must never compile in the
+            # serving path
+            seg_opts = ({None} if self.depth_segments is None
+                        else {None, self.depth_segments})
+            ps_opts = ({None} if self.pool_segments is None
+                       else {None, self.pool_segments})
+            done = {(self._compatible_segments(packed),
+                     self._compatible_pool_segments(packed))}
+            for so in seg_opts:
+                for po in ps_opts:
+                    if (so, po) not in done:
+                        self._verify_packed(packed, force_segments=so,
+                                            force_pool_segments=po)
+                        done.add((so, po))
         self._warm = True
         return time.time() - t0
 
     # -- serving ---------------------------------------------------------
     _UNSET = object()
 
-    def _verify_packed(self, packed: PackedProofs, force_segments=_UNSET):
+    def _verify_packed(self, packed: PackedProofs, force_segments=_UNSET,
+                       force_pool_segments=_UNSET):
         mvl = self.bucket.max_value_len
         if self.mesh is not None:
             from ..parallel.mesh import make_sharded_verifier
@@ -163,10 +196,14 @@ class BatchVerifier:
                 segs = force_segments  # warmup: compile a specific variant
             else:
                 segs = self._compatible_segments(packed)
+            if force_pool_segments is not BatchVerifier._UNSET:
+                psegs = force_pool_segments
+            else:
+                psegs = self._compatible_pool_segments(packed)
             return mpt.verify_proofs_pooled(
                 *packed.astuple(), *packed.pool(),
                 packed.pool_hints(), max_value_len=mvl,
-                depth_segments=segs)
+                depth_segments=segs, pool_segments=psegs)
         return mpt.verify_proofs(*packed.astuple(), max_value_len=mvl)
 
     def _compatible_segments(self, packed: PackedProofs):
@@ -184,6 +221,23 @@ class BatchVerifier:
                 return None
             off += cnt
         return self.depth_segments
+
+    def _compatible_pool_segments(self, packed: PackedProofs):
+        """The pinned pool-hash schedule iff this batch's (length-sorted)
+        pool fits it — counts sum to the pool rows and every row's length
+        fits its segment width; else None (unsegmented pool hash)."""
+        if self.pool_segments is None:
+            return None
+        lens = packed.pool()[1]
+        if sum(c for c, _ in self.pool_segments) != len(lens):
+            return None
+        off = 0
+        for cnt, w in self.pool_segments:
+            seg = lens[off:off + cnt]
+            if len(seg) and int(seg.max()) > w:
+                return None
+            off += cnt
+        return self.pool_segments
 
     def verify(self, entries) -> VerifyResult:
         """Pack + verify one request batch; returns per-proof results

@@ -626,3 +626,34 @@ def test_pallas_pairskip_parity():
     np.testing.assert_array_equal(np.asarray(sa), np.asarray(sb))
     np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
     np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_pallas_segmented_composes_with_hint_modes():
+    """Depth-segmented dispatch must stay bit-identical to the
+    unsegmented call under every hint mode (the production bench runs
+    seg+hinted; ordered/pairskip are opt-in) — including a None
+    max_steps, which must resolve from the GLOBAL node axis, not per
+    segment (r4 advice #1)."""
+    t = EthTrie()
+    keys = [keccak256(b"smx-%d" % i) for i in range(64)]
+    for i, k in enumerate(keys):
+        t.insert(k, b"\x0c" + bytes([i]) * 40)
+    root = t.root_hash()
+    entries = [(root, t.get_proof(k), k) for k in keys[:24]]
+    entries.sort(key=lambda e: -len(e[1]))  # depth-sorted
+    packed = pack_proofs(entries)
+    args = [jnp.asarray(a) for a in packed.astuple()]
+    dig = mpt.hash_nodes(args[0], args[1])
+    hints = _hints_for(packed)
+    segs = packed.depth_segments(tile=8)
+    from zk_state_proofs_tpu.ops.mpt_pallas import walk_batch_pallas_segmented
+
+    for hm in ("hinted", "ordered", "pairskip"):
+        ref = walk_batch_pallas(*args[:3], dig, *args[3:], 64, None,
+                                hints=hints, hint_mode=hm)
+        out = walk_batch_pallas_segmented(
+            segs, *args[:3], dig, *args[3:], 64, None,
+            hints=hints, hint_mode=hm)
+        for a, b in zip(ref, out):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b), hm)
+        assert (np.asarray(out[0]) == mpt.FOUND).all(), hm

@@ -230,10 +230,12 @@ def extract_erc20_transfers(values, value_lens, status, indices=None,
     engines:
 
       engine="host" (default): per-candidate Python RLP decode.
-        MEASURED faster at mainnet-like shapes — 67k vs 50k receipts/s
-        at a 100%-candidate 4096-row sweep with 1-3 Transfer logs each
-        (bench_configs config 3): numpy per-op dispatch outweighs the
-        Python loop at these log counts.
+        At a 100%-candidate 4096-row sweep with 1-3 Transfer logs each
+        the two engines measure WITHIN HOST VARIANCE of each other
+        (bench_configs config 3 reports both every run: 67k-vs-50k and
+        50k-vs-56k receipts/s in back-to-back r5 runs) — numpy per-op
+        dispatch roughly cancels the Python-loop cost at these log
+        counts; host stays the default for simplicity.
       engine="vectorized": the breadth-first structural parser above
         (one numpy pass per log position across all rows; malformed rows
         fall back to the host decode). Kept for its scaling shape (cost

@@ -57,9 +57,31 @@ def make_step(packed, args, pargs, ph, mode):
     hm = [p for p in parts if p in ("hinted", "hinted1", "hinted4",
                                     "ordered", "pairskip")]
     kw["hint_mode"] = hm[0] if hm else None
-    fn = functools.partial(mpt.verify_proofs_pooled, max_value_len=128,
-                           max_steps=packed.nodes.shape[1],
-                           conditional=False, **kw)
+    if "segold" in parts:
+        # the pre-r5 segmented pipeline: GLOBAL digest/hint scatter over
+        # all B*D slots, then the segmented walk slicing the global
+        # tables (A/B baseline for the fused per-segment scatter)
+        import jax.numpy as _jnp
+
+        from zk_state_proofs_tpu.ops.mpt_pallas import (
+            walk_batch_pallas_segmented)
+
+        segs = packed.depth_segments()
+        psegs = (packed.pool_block_segments() if "ps" in parts else None)
+
+        def fn(nodes, node_lens, num_nodes, roots, knib, klen,
+               pool_nodes, pool_lens, pool_idx, ph, **_ignored):
+            dig, hints = mpt.hash_nodes_pooled(
+                pool_nodes, pool_lens, pool_idx, with_hints=True,
+                pool_hints=ph, pool_segments=psegs)
+            return walk_batch_pallas_segmented(
+                segs, nodes, node_lens, num_nodes, dig, roots, knib, klen,
+                128, packed.nodes.shape[1], hints=hints,
+                hint_mode=kw["hint_mode"])
+    else:
+        fn = functools.partial(mpt.verify_proofs_pooled, max_value_len=128,
+                               max_steps=packed.nodes.shape[1],
+                               conditional=False, **kw)
 
     @jax.jit
     def step(nodes, pool_nodes, ctr):

@@ -434,8 +434,6 @@ def hash_nodes_pooled(pool_nodes, pool_lens, pool_idx, with_hints=False,
     5.6k-row pool on v5e: 18 sequential tiny fetches, launch-bound, so
     prefer pack-time hints on streamed paths).
     """
-    b, d = pool_idx.shape
-    u = pool_nodes.shape[0]
     pool_dig = _hash_pool_rows(pool_nodes, pool_lens, pool_segments)
     payload = pool_dig
     if with_hints:
@@ -444,17 +442,27 @@ def hash_nodes_pooled(pool_nodes, pool_lens, pool_idx, with_hints=False,
 
             pool_hints = item_offsets(pool_nodes)
         payload = jnp.concatenate([pool_dig, pool_hints], axis=1)  # [U, 68]
+    out = scatter_pool_payload(payload, pool_idx)
+    if with_hints:
+        return out[..., :32], out[..., 32:]
+    return out
+
+
+def scatter_pool_payload(payload, pool_idx):
+    """Exact one-hot bf16 contraction: payload u8 [U, W], pool_idx i32
+    [B, D] -> u8 [B, D, W]. Bytes are < 256, exact in bf16; the MXU
+    contraction beats row gathers ~13x at the headline shape and a
+    VMEM Pallas alternative (measured negative result, CLAUDE.md)."""
+    b, d = pool_idx.shape
+    u = payload.shape[0]
     onehot = (
         jnp.arange(u, dtype=jnp.int32)[None, :] == pool_idx.reshape(b * d)[:, None]
     ).astype(jnp.bfloat16)
-    out = jax.lax.dot_general(
+    return jax.lax.dot_general(
         onehot, payload.astype(jnp.bfloat16),
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(jnp.uint8).reshape(b, d, -1)
-    if with_hints:
-        return out[..., :32], out[..., 32:]
-    return out
 
 
 @functools.partial(jax.jit,
@@ -498,6 +506,41 @@ def verify_proofs_pooled(nodes, node_lens, num_nodes, roots, key_nibbles,
     if jax.default_backend() == "tpu":
         from .mpt_pallas import walk_batch_pallas
 
+        if depth_segments is not None:
+            # SEGMENTED SCATTER: the digest/hint one-hot contraction costs
+            # rows proportional to B*D, but with depth segments every slot
+            # beyond a segment's d is padding nobody consults — scattering
+            # per segment shrinks the contraction to sum(cnt_i * d_i)
+            # rows (~-33% at the depth-sorted headline mix). Digests for
+            # consulted slots are bit-identical; the walk per segment is
+            # walk_batch_pallas_segmented's dispatch, fused with its own
+            # scatter.
+            pool_dig = _hash_pool_rows(pool_nodes, pool_lens, pool_segments)
+            payload = pool_dig
+            if hinted:
+                if pool_hints is None:
+                    from .rlp import item_offsets
+
+                    pool_hints = item_offsets(pool_nodes)
+                payload = jnp.concatenate([pool_dig, pool_hints], axis=1)
+            if max_steps is None:
+                max_steps = nodes.shape[1] + 6  # global default, not per-seg
+            outs, off = [], 0
+            for cnt, dseg in depth_segments:
+                sl = slice(off, off + cnt)
+                dh = scatter_pool_payload(payload, pool_idx[sl, :dseg])
+                outs.append(walk_batch_pallas(
+                    nodes[sl, :dseg], node_lens[sl, :dseg], num_nodes[sl],
+                    dh[..., :32], roots[sl], key_nibbles[sl], key_lens[sl],
+                    max_value_len, max_steps,
+                    hints=dh[..., 32:] if hinted else None,
+                    hint_mode=hint_mode))
+                off += cnt
+            if off != nodes.shape[0]:
+                raise ValueError(
+                    f"depth_segments cover {off} rows, batch has "
+                    f"{nodes.shape[0]}")
+            return tuple(jnp.concatenate(parts) for parts in zip(*outs))
         if hinted:
             digests, hints = hash_nodes_pooled(pool_nodes, pool_lens,
                                                pool_idx, with_hints=True,
@@ -507,13 +550,6 @@ def verify_proofs_pooled(nodes, node_lens, num_nodes, roots, key_nibbles,
             digests = hash_nodes_pooled(pool_nodes, pool_lens, pool_idx,
                                         pool_segments=pool_segments)
             hints = None
-        if depth_segments is not None:
-            from .mpt_pallas import walk_batch_pallas_segmented
-
-            return walk_batch_pallas_segmented(
-                depth_segments, nodes, node_lens, num_nodes, digests, roots,
-                key_nibbles, key_lens, max_value_len, max_steps,
-                hints=hints, hint_mode=hint_mode)
         return walk_batch_pallas(nodes, node_lens, num_nodes, digests, roots,
                                  key_nibbles, key_lens, max_value_len,
                                  max_steps, hints=hints, hint_mode=hint_mode)
